@@ -1,0 +1,108 @@
+"""INT16 quantization: calibration, weight quantization, requant helpers.
+
+Replaces the reference's external ``nn-weight-extractor`` step (documented at
+``weights/README.md:33-59``): per-conv-layer power-of-two Q exponents for
+weights and biases, and an activation table ``iofm_Q`` with n_convs+1 entries
+derived from running calibration images through the fp32 oracle.
+
+Convention (matches the reference artifact contract): ``x_int = round(x *
+2**q)`` with q chosen as the largest exponent such that the observed absmax
+still fits int16.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .golden import GoldenNet
+from .graph import ConvSpec, NetworkSpec, RouteSpec
+from .weights import QTables, WeightStore
+
+
+def q_for_absmax(absmax: float, margin: float = 1.0, limit: int = 15) -> int:
+    """Largest q with absmax * margin * 2**q <= 32767 (clamped to ±limit)."""
+    if absmax <= 0:
+        return limit
+    q = int(np.floor(np.log2(32767.0 / (absmax * margin))))
+    return int(np.clip(q, -limit, limit))
+
+
+def quantize_tensor(x: np.ndarray, q: int) -> np.ndarray:
+    """round-half-away-from-zero to int16 at scale 2**q with saturation."""
+    v = x.astype(np.float64) * np.ldexp(1.0, q)
+    r = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+    return np.clip(r, -32768, 32767).astype(np.int16)
+
+
+def dequantize_tensor(x: np.ndarray, q: int) -> np.ndarray:
+    return x.astype(np.float32) * np.float32(np.ldexp(1.0, -q))
+
+
+def quantize_weights(store: WeightStore, act_q: list[int],
+                     margin: float = 1.0) -> WeightStore:
+    """Quantize fp32 weights/biases to int16 with per-layer Qs.
+
+    Bias Q is capped so the bias, when shifted into each layer's output
+    activation domain (shift = Qb - Qa_out, ``core_compute.cpp:49-63``),
+    neither overflows nor loses all precision.
+    """
+    spec = store.spec
+    wq: list[int] = []
+    bq: list[int] = []
+    for ci, l in enumerate(spec.conv_layers()):
+        w, b = store.fp32[l.idx]
+        qw = q_for_absmax(float(np.abs(w).max()), margin)
+        qb = q_for_absmax(float(np.abs(b).max()) if b.size else 1.0, margin)
+        wq.append(qw)
+        bq.append(qb)
+        store.int16[l.idx] = (quantize_tensor(w, qw), quantize_tensor(b, qb))
+    store.qtables = QTables(weight_q=wq, bias_q=bq, act_q=list(act_q))
+    return store
+
+
+def calibrate_activations(spec: NetworkSpec, store: WeightStore,
+                          images_chw: list[np.ndarray],
+                          margin: float = 2.0) -> list[int]:
+    """Produce ``iofm_Q`` (n_convs+1 entries) from fp32 activations.
+
+    Entry i is conv i's *input* Q, entry n_convs the last conv's output Q.
+    Graph consistency is enforced: a conv fed by a route/maxpool/reorg chain
+    inherits the Q of the producing conv's output, so branch scales agree at
+    trace time (the reference relied on the external calibrator to do the
+    same; its runtime re-aligns the reorg branch anyway,
+    ``yolo2_model.cpp:379-399``).
+    """
+    golden = GoldenNet(spec)
+    convs = spec.conv_layers()
+    n_convs = len(convs)
+
+    # absmax per layer output + network input, across calibration images
+    absmax_in = 0.0
+    absmax: dict[int, float] = {l.idx: 0.0 for l in spec.layers}
+    for img in images_chw:
+        absmax_in = max(absmax_in, float(np.abs(img).max()))
+        acts = golden.forward_fp32(img, store.fp32, keep_all=True)
+        for idx, a in acts.items():
+            absmax[idx] = max(absmax[idx], float(np.abs(a).max()))
+
+    # layer-output Q, propagated through Q-preserving layers
+    out_q: dict[int, int] = {}
+    for l in spec.layers:
+        if isinstance(l, ConvSpec):
+            out_q[l.idx] = q_for_absmax(absmax[l.idx], margin)
+        elif isinstance(l, RouteSpec):
+            # min over branches: realignment shifts the hotter branch down
+            out_q[l.idx] = min(out_q[s] for s in l.layers)
+        else:
+            prev = l.idx - 1
+            out_q[l.idx] = out_q[prev] if prev >= 0 else q_for_absmax(absmax_in, margin)
+
+    act_q: list[int] = []
+    ci = 0
+    for l in spec.layers:
+        if isinstance(l, ConvSpec):
+            act_q.append(out_q[l.idx - 1] if l.idx > 0 else q_for_absmax(absmax_in, margin))
+            ci += 1
+    act_q.append(out_q[convs[-1].idx])
+    assert len(act_q) == n_convs + 1
+    return act_q
