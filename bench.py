@@ -1,0 +1,77 @@
+"""Headline benchmark: YOLOv2 416x416 INT16 end-to-end throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": "yolov2_416_int16_fps", "value": N, "unit": "frames/sec",
+   "vs_baseline": N / 0.1}
+
+Baseline: the reference FPGA stack's known-good end-to-end throughput is
+~0.1 FPS on the KV260 (reference HLS_OPTIMIZATION_TASKLIST.md:3-4; see
+BASELINE.md). Measurement mirrors its method — mean over repeated timed
+inferences of the full network (input quantization -> 32 layers -> region
+head) — with the TPU-appropriate adaptation of batched steps and forced
+device->host readback per step (the axon tunnel's block_until_ready returns
+early, so a scalar readback is the sync point).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 0.1
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+
+
+def main() -> int:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from yolotpu.models import yolov2 as m
+    from yolotpu.models import zoo
+    from yolotpu.quant import calibrate_activations, quantize_weights
+    from yolotpu.weights import WeightStore
+
+    spec = zoo.build("yolov2")
+    store = WeightStore.synthetic(spec, seed=0)
+    rng = np.random.default_rng(0)
+    calib = [rng.random((3, 416, 416), dtype=np.float32)]
+    act_q = calibrate_activations(spec, store, calib)
+    quantize_weights(store, act_q)
+
+    params = m.params_int16(spec, store)
+    fwd = m.build_forward(spec, "int16", store.qtables, compute="int32",
+                          outputs=("head", "boxes"))
+    fn = jax.jit(lambda x: fwd(params, x))
+
+    x = jnp.asarray(rng.random((BATCH, 416, 416, 3), dtype=np.float32))
+    out = fn(x)
+    _ = float(jnp.sum(out["obj"]))            # warmup + compile
+
+    times = []
+    for _i in range(STEPS):
+        t0 = time.perf_counter()
+        out = fn(x)
+        _ = float(jnp.sum(out["obj"]))        # sync readback
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    fps = BATCH / med
+
+    print(json.dumps({
+        "metric": "yolov2_416_int16_fps",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

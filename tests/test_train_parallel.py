@@ -1,0 +1,124 @@
+"""Training step + mesh sharding on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolotpu.models import yolov2 as m
+from yolotpu.models import zoo
+from yolotpu.parallel import mesh as pmesh
+from yolotpu.train import make_train_step, region_loss, zeros_like_velocity
+from yolotpu.weights import WeightStore
+
+
+def _batch(rng, B, M=8, size=64):
+    return {
+        "images": jnp.asarray(rng.random((B, size, size, 3), dtype=np.float32)),
+        "boxes": jnp.asarray(rng.uniform(0.3, 0.7, (B, M, 4)).astype(np.float32)),
+        "classes": jnp.asarray(rng.integers(0, 80, (B, M)), jnp.int32),
+        "mask": jnp.ones((B, M), jnp.float32),
+    }
+
+
+def test_region_loss_decreases_under_sgd():
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    params = m.params_fp32(spec, store)
+    vel = zeros_like_velocity(params)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng, B=2)
+    step = jax.jit(make_train_step(spec, lr=1e-4))
+    losses = []
+    for _ in range(5):
+        params, vel, loss = step(params, vel, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_region_loss_perfect_prediction_near_zero_coord():
+    """A head that encodes the truths exactly must have ~zero coord loss."""
+    spec = zoo.build("yolov2", width=416, height=416)
+    rspec = spec.region
+    lw = lh = 13
+    n, classes = rspec.num, rspec.classes
+    B, M = 1, 2
+    truth = np.array([[[0.3, 0.3, 0.2, 0.3], [0.7, 0.6, 0.1, 0.1]]], np.float32)
+    tcls = np.array([[3, 7]], np.int32)
+    mask = np.ones((B, M), np.float32)
+
+    anchors = np.asarray(rspec.biases, np.float32).reshape(n, 2)
+    head = np.zeros((B, lh, lw, n, 5 + classes), np.float32)
+    head[..., 4] = -20.0  # objectness ~0 everywhere
+    for t in range(M):
+        bx, by, bw, bh = truth[0, t]
+        ci, cj = int(bx * lw), int(by * lh)
+        shape_iou = []
+        for a in range(n):
+            aw, ah = anchors[a, 0] / lw, anchors[a, 1] / lh
+            inter = min(bw, aw) * min(bh, ah)
+            union = bw * bh + aw * ah - inter
+            shape_iou.append(inter / union)
+        a = int(np.argmax(shape_iou))
+        tx, ty = bx * lw - ci, by * lh - cj
+        eps = 1e-6
+        head[0, cj, ci, a, 0] = np.log(max(tx, eps) / max(1 - tx, eps))
+        head[0, cj, ci, a, 1] = np.log(max(ty, eps) / max(1 - ty, eps))
+        head[0, cj, ci, a, 2] = np.log(bw * lw / anchors[a, 0])
+        head[0, cj, ci, a, 3] = np.log(bh * lh / anchors[a, 1])
+        head[0, cj, ci, a, 4] = 20.0   # obj ~1 (target is IoU=1, rescore)
+        head[0, cj, ci, a, 5 + tcls[0, t]] = 30.0
+    loss = float(region_loss(jnp.asarray(head.reshape(B, lh, lw, -1)),
+                             jnp.asarray(truth), jnp.asarray(tcls),
+                             jnp.asarray(mask), rspec))
+    assert loss < 0.01, loss
+
+
+def test_mesh_factoring():
+    assert pmesh.factor_mesh(8) == (2, 4)
+    assert pmesh.factor_mesh(4) == (1, 4)
+    assert pmesh.factor_mesh(2) == (1, 2)
+    assert pmesh.factor_mesh(1) == (1, 1)
+    assert pmesh.factor_mesh(6) == (3, 2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_train_step_matches_single_device():
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    rng = np.random.default_rng(1)
+    batch = _batch(rng, B=4)
+    step = jax.jit(make_train_step(spec, lr=1e-3))
+
+    params = m.params_fp32(spec, store)
+    vel = zeros_like_velocity(params)
+    p1, _, l1 = step(params, vel, batch)
+
+    mesh = pmesh.make_mesh(8)
+    shardings = pmesh.param_shardings(params, mesh)
+    params_s = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, shardings,
+        is_leaf=lambda x: not isinstance(x, dict))
+    vel_s = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), vel, shardings,
+        is_leaf=lambda x: not isinstance(x, dict))
+    batch_s = dict(batch)
+    batch_s["images"] = jax.device_put(batch["images"], pmesh.batch_sharding(mesh))
+    p8, _, l8 = step(params_s, vel_s, batch_s)
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p8["conv0"]["w"]),
+                               np.asarray(p1["conv0"]["w"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p8["conv30"]["w"]),
+                               np.asarray(p1["conv30"]["w"]), rtol=1e-5, atol=1e-6)
+
+
+def test_graft_entry_single_chip():
+    """entry() must compile-check on one device (CPU here)."""
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out["head"].shape == (4, 13, 13, 425)
+    assert out["boxes"].shape == (4, 13 * 13 * 5, 4)
+    assert np.isfinite(np.asarray(out["head"])).all()

@@ -1,0 +1,128 @@
+"""``yolov2_detect``-compatible detection CLI, TPU-backed.
+
+Flag contract follows the reference host CLI
+(``src/models/yolov2/yolov2_main.cpp:62-131``): --cfg --names --input
+--output --thresh --nms --hier --backend --precision, positional input image,
+default output prefix ``results/<stem>_prediction``; region dumps controlled
+by YOLO2_DUMP_REGION[_RAW] / YOLO2_NO_DUMP.
+
+Backends map to this framework's executors: the reference's "hls" (the
+accelerator simulation) becomes "xla" (the TPU program); "cpu"/"golden" is
+the numpy oracle — actually implemented here, unlike the reference's stub
+(``yolov2_main.cpp:287-292``). Extra flags cover what the reference bakes in:
+--model (built-in zoo instead of a cfg file), --weights-dir (artifact
+directory), --synthetic-weights, --compute, --seed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="yolov2_detect", description=__doc__)
+    ap.add_argument("--cfg", default=None, help="darknet cfg path")
+    ap.add_argument("--model", default="yolov2",
+                    help="built-in model name (used when --cfg not given)")
+    ap.add_argument("--names", default=None, help="class names file")
+    ap.add_argument("--input", default=None, help="input image")
+    ap.add_argument("--output", default=None,
+                    help="output file prefix without extension")
+    ap.add_argument("--thresh", type=float, default=0.25)
+    ap.add_argument("--nms", type=float, default=0.45)
+    ap.add_argument("--hier", type=float, default=0.5)
+    ap.add_argument("--backend", default="xla",
+                    choices=["xla", "hls", "cpu", "golden"],
+                    help="'hls' aliases to xla; 'cpu' to golden")
+    ap.add_argument("--precision", default="fp32", choices=["fp32", "int16"])
+    ap.add_argument("--compute", default="int32",
+                    choices=["int32", "f32", "f32_highest", "exact"],
+                    help="int16 conv compute mode")
+    ap.add_argument("--weights-dir", default="weights",
+                    help="directory with the .bin artifact set")
+    ap.add_argument("--synthetic-weights", action="store_true",
+                    help="generate seeded synthetic weights")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-v", "--verbose", type=int, default=None)
+    ap.add_argument("positional", nargs="?", default=None,
+                    help="input image (positional)")
+    return ap
+
+
+def default_names(classes: int) -> str | None:
+    here = os.path.join(os.path.dirname(__file__), "..", "..", "configs")
+    cand = {80: "coco.names", 20: "voc.names"}.get(classes)
+    if cand:
+        p = os.path.abspath(os.path.join(here, cand))
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def main(argv: list[str] | None = None) -> int:
+    from ..graph import NetworkSpec
+    from ..image import load_image, save_image
+    from ..models import zoo
+    from ..runtime import logging as ylog
+    from ..runtime.drawing import draw_detections
+    from ..runtime.engine import Engine, load_or_synthesize
+
+    args = build_argparser().parse_args(argv)
+    if args.verbose is not None:
+        ylog.set_level(args.verbose)
+    input_path = args.input or args.positional
+    if input_path is None:
+        print("error: no input image (use --input or positional)", file=sys.stderr)
+        return 2
+
+    spec = (NetworkSpec.from_cfg(args.cfg) if args.cfg
+            else zoo.build(args.model))
+    spec.describe()
+
+    backend = {"hls": "xla", "cpu": "golden"}.get(args.backend, args.backend)
+    compute = args.compute
+    if compute == "exact" and backend != "golden":
+        print("note: compute=exact implies the golden backend", file=sys.stderr)
+        backend = "golden"
+
+    im = load_image(input_path)
+    store = load_or_synthesize(spec, args.weights_dir, args.precision,
+                               synthetic=args.synthetic_weights,
+                               seed=args.seed)
+    t0 = time.time()
+    eng = Engine(spec, store, precision=args.precision, backend=backend,
+                 compute=compute)
+    ylog.info(f"engine ready in {time.time() - t0:.1f}s "
+              f"({backend}/{args.precision})")
+
+    dets, res = eng.detect(im, thresh=args.thresh, nms=args.nms)
+    print(f"{os.path.basename(input_path)}: predicted in {res.seconds:.6f} seconds.")
+
+    names_path = args.names or default_names(spec.region.classes)
+    names = ([l.rstrip("\n") for l in open(names_path)] if names_path
+             else [str(i) for i in range(spec.region.classes)])
+    shown = 0
+    for d in dets:
+        for j in range(d.classes):
+            if d.prob[j] > args.thresh:
+                print(f"{names[j] if j < len(names) else j}: {100 * d.prob[j]:.0f}%")
+                shown += 1
+
+    prefix = args.output
+    if prefix is None:
+        stem = os.path.splitext(os.path.basename(input_path))[0]
+        os.makedirs("results", exist_ok=True)
+        prefix = os.path.join("results", f"{stem}_prediction")
+    drawn = draw_detections(im, dets, names, args.thresh)
+    save_image(drawn, prefix + ".png")
+    ylog.info(f"saved {prefix}.png ({shown} labels)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

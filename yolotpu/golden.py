@@ -227,6 +227,26 @@ def conv_int16_exact(x: np.ndarray, weights: np.ndarray, bias: np.ndarray,
     return out
 
 
+def conv_int16_int32acc(x: np.ndarray, weights: np.ndarray, bias: np.ndarray,
+                        spec: ConvSpec, qw: int, qa_in: int, qa_out: int,
+                        qb: int) -> np.ndarray:
+    """Production int16 semantics (the TPU fast path): exact int32
+    accumulation over the whole receptive field, then ONE round-half-up
+    shift + pre-shifted bias + saturation + integer leaky. This is the numpy
+    twin of ``yolotpu.ops.convops.conv_int16`` and must match it bit-for-bit.
+    """
+    cols = im2col(x.astype(np.int64), spec.size, spec.stride, spec.pad)
+    wmat = weights.reshape(spec.n, -1).astype(np.int64)
+    acc = wmat @ cols
+    acc = acc.reshape(spec.n, spec.out_h, spec.out_w)
+    bias_shifted = shift_round_half_up(bias.astype(np.int64), qb - qa_out)
+    v = shift_round_half_up(acc, qa_in + qw - qa_out) + bias_shifted.reshape(-1, 1, 1)
+    v = sat16(v)
+    if spec.activation == "leaky":
+        return leaky_int16(v.astype(np.int16)).astype(np.int16)
+    return v.astype(np.int16)
+
+
 # ---------------------------------------------------------------------------
 # Whole-network golden forward
 # ---------------------------------------------------------------------------
@@ -268,7 +288,8 @@ class GoldenNet:
 
     def forward_int16(self, x_fp32: np.ndarray,
                       weights_q: dict[int, tuple[np.ndarray, np.ndarray]],
-                      qtab, keep_all: bool = False) -> dict[int, np.ndarray]:
+                      qtab, keep_all: bool = False,
+                      mode: str = "exact") -> dict[int, np.ndarray]:
         """Bit-exact int16 inference following the reference sequencer's Q
         routing (``yolo2_model.cpp:294-446``):
 
@@ -297,8 +318,9 @@ class GoldenNet:
                 qa_in = qtab.act_q[conv_i] if pending_route_q is None else pending_route_q
                 qa_out = qtab.act_q[conv_i + 1]
                 w, b = weights_q[l.idx]
-                cur = conv_int16_exact(cur, w, b, l, qtab.weight_q[conv_i],
-                                       qa_in, qa_out, qtab.bias_q[conv_i])
+                conv_fn = conv_int16_exact if mode == "exact" else conv_int16_int32acc
+                cur = conv_fn(cur, w, b, l, qtab.weight_q[conv_i],
+                              qa_in, qa_out, qtab.bias_q[conv_i])
                 cur_q = qa_out
                 conv_i += 1
                 pending_route_q = None

@@ -1,0 +1,149 @@
+"""Convolution ops: fp32 and INT16-quantized, XLA-native (NHWC/HWIO).
+
+The reference computes conv on a Tm=32 x Tn=4 MAC array with the tile loops
+of ``hls/models/yolov2/yolo2_accel.cpp:127-168``; on TPU the same work is one
+``lax.conv_general_dilated`` that XLA tiles onto the 128x128 MXU — spatial
+tiling, double buffering and MAC unrolling all come from the compiler.
+
+INT16 semantics (production path): exact int32 accumulation over the whole
+receptive field, then one requantization
+    out = sat16( round_shift(acc, Qa_in + Qw - Qa_out) + round_shift(bias, Qb - Qa_out) )
+with round-half-up shifts capped at magnitude 30 and int16 saturation,
+mirroring ``core_compute.cpp:49-63,86-118`` except that the reference
+requantizes after every 4-input-channel group (an FPGA resource artifact that
+only loses precision); the bit-exact reproduction of that behavior lives in
+``yolotpu.golden.conv_int16_exact`` and is used as a fidelity oracle.
+
+Integer leaky activation matches the hardware exactly: ``v < 0 -> v / 10``
+with C truncation toward zero (``core_compute.cpp:192-198``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+DN = ("NHWC", "HWIO", "NHWC")
+
+# int16 conv compute implementations
+COMPUTE_MODES = ("int32", "f32", "f32_highest")
+
+
+def pad_same_darknet(x: jnp.ndarray, size: int, stride: int, pad: int,
+                     value) -> tuple[jnp.ndarray, str]:
+    """Explicit zero/value padding per darknet conv semantics (symmetric
+    ``pad`` pixels each side; output (in + 2*pad - size)//stride + 1)."""
+    if pad == 0:
+        return x, "VALID"
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                constant_values=value)
+    return x, "VALID"
+
+
+def conv_fp32(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int,
+              pad: int, activation: str) -> jnp.ndarray:
+    """fp32 conv + bias + activation. x (B,H,W,Cin) f32, w (k,k,Cin,Cout)."""
+    xp, p = pad_same_darknet(x, w.shape[0], stride, pad, 0.0)
+    out = lax.conv_general_dilated(xp, w, (stride, stride), p,
+                                   dimension_numbers=DN,
+                                   preferred_element_type=jnp.float32)
+    out = out + b
+    return activate_fp32(out, activation)
+
+
+def activate_fp32(x: jnp.ndarray, activation: str) -> jnp.ndarray:
+    if activation == "linear":
+        return x
+    if activation == "leaky":
+        return jnp.where(x > 0, x, 0.1 * x)
+    if activation == "relu":
+        return jnp.maximum(x, 0)
+    if activation == "logistic":
+        return jax.nn.sigmoid(x)
+    raise NotImplementedError(activation)
+
+
+def round_shift(v: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Static arithmetic shift with round-half-up on right shifts, magnitude
+    capped at 30 (int64 not needed: partial sums fit int32 after conv's int32
+    accumulation contract; see core_compute.cpp:49-63)."""
+    if shift > 0:
+        mag = min(shift, 30)
+        return (v + (1 << (mag - 1))) >> mag
+    if shift < 0:
+        return v << min(-shift, 30)
+    return v
+
+
+def sat16(v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(v, -32768, 32767)
+
+
+def leaky_int16(v: jnp.ndarray) -> jnp.ndarray:
+    """v < 0 -> v/10 with truncation toward zero (core_compute.cpp:192-198).
+    Input int32 in int16 range; output int32."""
+    neg = -((-v) // 10)     # trunc-toward-zero for v<0
+    return jnp.where(v < 0, neg, v)
+
+
+def conv_int16(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
+               stride: int, pad: int, activation: str, shift_out: int,
+               compute: str = "int32") -> jnp.ndarray:
+    """Quantized conv. x (B,H,W,Cin) int16, w (k,k,Cin,Cout) int16,
+    bias_shifted (Cout,) int32 already in the Qa_out domain.
+
+    compute:
+      - "int32":       int16 x int16 -> int32 conv on the MXU (exact)
+      - "f32":         cast to f32, default TPU precision (fastest, products
+                       rounded to ~bf16; error well under one Q step after
+                       the output shift for typical shifts)
+      - "f32_highest": 6-pass f32 (exact products, f32 accumulation)
+    Returns int16 activations.
+    """
+    xp, p = pad_same_darknet(x, w.shape[0], stride, pad, jnp.int16(0))
+    if compute == "int32":
+        acc = lax.conv_general_dilated(xp, w, (stride, stride), p,
+                                       dimension_numbers=DN,
+                                       preferred_element_type=jnp.int32)
+    elif compute in ("f32", "f32_highest"):
+        prec = (lax.Precision.HIGHEST if compute == "f32_highest" else None)
+        accf = lax.conv_general_dilated(xp.astype(jnp.float32),
+                                        w.astype(jnp.float32),
+                                        (stride, stride), p,
+                                        dimension_numbers=DN,
+                                        precision=prec,
+                                        preferred_element_type=jnp.float32)
+        # round to nearest int (ties away from zero is irrelevant here: the
+        # exact accumulator is integral, so accf is within rounding noise of
+        # an integer and plain rounding recovers it)
+        acc = jnp.round(accf).astype(jnp.int32)
+    else:
+        raise ValueError(f"compute mode {compute!r}")
+    v = sat16(round_shift(acc, shift_out) + bias_shifted)
+    if activation == "leaky":
+        v = sat16(leaky_int16(v))
+    elif activation != "linear":
+        raise NotImplementedError(f"int16 activation {activation}")
+    return v.astype(jnp.int16)
+
+
+def quantize_input_int16(x: jnp.ndarray, q: int) -> jnp.ndarray:
+    """fp32 -> int16 at scale 2**q, round half away from zero with fp32
+    pre-clamp (yolo2_model.cpp:257-273 llround semantics)."""
+    v = x * jnp.float32(2.0 ** q)
+    v = jnp.clip(v, -32768.0, 32767.0)
+    r = jnp.where(v >= 0, jnp.floor(v + 0.5), jnp.ceil(v - 0.5))
+    return r.astype(jnp.int16)
+
+
+def dequantize_int16(x: jnp.ndarray, q: int) -> jnp.ndarray:
+    return x.astype(jnp.float32) * jnp.float32(2.0 ** (-q))
+
+
+def realign_int16(x: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Reorg-branch Q realignment before a concat: plain arithmetic shift
+    (NO rounding — yolo2_model.cpp:385-393) with saturation."""
+    v = x.astype(jnp.int32)
+    v = (v >> shift) if shift > 0 else (v << -shift)
+    return sat16(v).astype(jnp.int16)

@@ -39,12 +39,20 @@ def dequantize_tensor(x: np.ndarray, q: int) -> np.ndarray:
 
 
 def quantize_weights(store: WeightStore, act_q: list[int],
-                     margin: float = 1.0) -> WeightStore:
+                     margin: float = 1.0,
+                     max_shift_out: int = 12) -> WeightStore:
     """Quantize fp32 weights/biases to int16 with per-layer Qs.
 
-    Bias Q is capped so the bias, when shifted into each layer's output
-    activation domain (shift = Qb - Qa_out, ``core_compute.cpp:49-63``),
-    neither overflows nor loses all precision.
+    ``max_shift_out`` caps Qw so each conv's requantization shift
+    (Qa_in + Qw - Qa_out) stays <= 12: a calibrated layer's int32
+    accumulator then peaks around 2**(15+12) = 2**27, leaving 16x headroom
+    against int32 overflow in XLA's exact int16xint16->int32 convolution.
+    (The reference never hits this because it saturates the running int16
+    accumulator after every 4-channel group, core_compute.cpp:115-118 — a
+    behavior that costs precision; capping Qw costs ~2 weight LSBs instead.)
+
+    Bias Q is chosen by absmax; the bias shift (Qb - Qa_out) is bounded
+    (|b| <= 2**15, |shift| <= 30) so the pre-shifted int32 bias is safe.
     """
     spec = store.spec
     wq: list[int] = []
@@ -52,6 +60,7 @@ def quantize_weights(store: WeightStore, act_q: list[int],
     for ci, l in enumerate(spec.conv_layers()):
         w, b = store.fp32[l.idx]
         qw = q_for_absmax(float(np.abs(w).max()), margin)
+        qw = min(qw, max_shift_out - act_q[ci] + act_q[ci + 1])
         qb = q_for_absmax(float(np.abs(b).max()) if b.size else 1.0, margin)
         wq.append(qw)
         bq.append(qb)

@@ -1,0 +1,168 @@
+"""Inference engine: weights + graph + backend -> detections.
+
+Plays the role of the reference's host shim ``yolov2_hls_ps``
+(``hls/models/yolov2/yolo2_model.cpp:229-449``) and the board orchestrator
+``yolo2_run_inference`` (``linux_app/src/yolo2_inference.c:763-910``), except
+the 32 per-layer launches collapse into one jitted XLA program and the DDR
+ping-pong arena disappears into XLA buffer assignment.
+
+Backends:
+  "xla"    — the TPU path (fp32 or int16; int16 compute mode selectable)
+  "golden" — the numpy oracle (the "host simulation" analog; also the
+             bit-exact reference-semantics mode via compute="exact")
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..golden import GoldenNet
+from ..graph import NetworkSpec
+from ..postprocess import (Detection, do_nms_sort, forward_region,
+                           get_region_detections)
+from ..quant import calibrate_activations, quantize_weights
+from ..weights import WeightStore
+from . import logging as ylog
+
+
+@dataclass
+class PredictResult:
+    head_chw: np.ndarray          # (oc, h, w) fp32 raw region input
+    seconds: float
+
+
+class Engine:
+    def __init__(self, spec: NetworkSpec, store: WeightStore,
+                 precision: str = "fp32", backend: str = "xla",
+                 compute: str = "int32"):
+        self.spec = spec
+        self.store = store
+        self.precision = precision
+        self.backend = backend
+        self.compute = compute
+        self._fn = None
+        if precision == "int16" and not store.int16:
+            raise ValueError("int16 engine needs quantized weights "
+                             "(load int16 artifacts or calibrate+quantize)")
+        if backend == "xla":
+            from ..models import yolov2 as m
+            t0 = time.time()
+            self._fn, _ = m.jit_forward(spec, store, precision,
+                                        compute=compute,
+                                        outputs=("head",))
+            ylog.debug(f"engine: forward built in {time.time() - t0:.1f}s")
+        elif backend == "golden":
+            self._golden = GoldenNet(spec)
+        else:
+            raise ValueError(f"backend {backend!r} (use 'xla' or 'golden')")
+
+    # ------------------------------------------------------------------
+    def predict(self, boxed_chw: np.ndarray) -> PredictResult:
+        """Run one letterboxed (3, H, W) float image; returns the raw region
+        head in CHW (dump/parity layout)."""
+        t0 = time.time()
+        if self.backend == "xla":
+            import jax.numpy as jnp
+            x = jnp.asarray(boxed_chw.transpose(1, 2, 0)[None])
+            head = np.asarray(self._fn(x)["head"])[0].transpose(2, 0, 1)
+        else:
+            if self.precision == "int16":
+                mode = "exact" if self.compute == "exact" else "int32"
+                acts = self._golden.forward_int16(boxed_chw, self.store.int16,
+                                                  self.store.qtables, mode=mode)
+            else:
+                acts = self._golden.forward_fp32(boxed_chw, self.store.fp32)
+            head = acts[self.spec.n - 1]
+        return PredictResult(head_chw=np.ascontiguousarray(head),
+                             seconds=time.time() - t0)
+
+    # ------------------------------------------------------------------
+    def detect(self, image_chw: np.ndarray, thresh: float = 0.25,
+               nms: float = 0.45) -> tuple[list[Detection], PredictResult]:
+        """Full pipeline on an original (unletterboxed) image."""
+        from ..image import letterbox_image
+        net_w, net_h = self.spec.net.width, self.spec.net.height
+        boxed = letterbox_image(image_chw, net_w, net_h)
+        res = self.predict(boxed)
+        raw_flat = res.head_chw.reshape(-1)
+        maybe_dump_region(raw_flat, raw=True)
+        act = forward_region(raw_flat, self.spec.region)
+        maybe_dump_region(act, raw=False)
+        dets = get_region_detections(act, self.spec.region,
+                                     im_w=image_chw.shape[2],
+                                     im_h=image_chw.shape[1],
+                                     net_w=net_w, net_h=net_h, thresh=thresh)
+        dets = do_nms_sort(dets, self.spec.region.classes, nms)
+        return dets, res
+
+
+def maybe_dump_region(values: np.ndarray, raw: bool) -> None:
+    """Region tensor text dumps, env-compatible with the reference
+    (``yolo2_model.cpp:426-439``, ``yolov2_main.cpp:297-306``): one float per
+    line, '%.9g'; disabled by YOLO2_NO_DUMP; paths via YOLO2_DUMP_REGION_RAW
+    / YOLO2_DUMP_REGION; defaults yolov2_region_{raw,proc}_cpu.txt."""
+    nd = os.environ.get("YOLO2_NO_DUMP", "")
+    if nd and nd != "0":
+        return
+    if raw:
+        path = (os.environ.get("YOLO2_DUMP_REGION_RAW_CPU")
+                or os.environ.get("YOLO2_DUMP_REGION_RAW")
+                or "yolov2_region_raw_cpu.txt")
+    else:
+        path = (os.environ.get("YOLO2_DUMP_REGION")
+                or "yolov2_region_proc_cpu.txt")
+    try:
+        with open(path, "w") as f:
+            for v in values:
+                f.write(f"{v:.9g}\n")
+        print(f"Dumped {values.size} floats to {path}")
+    except OSError as e:
+        ylog.error(f"Warning: cannot open dump file {path}: {e}")
+
+
+# ---------------------------------------------------------------------------
+# Weight acquisition helpers (artifact contract or synthetic)
+# ---------------------------------------------------------------------------
+
+def load_or_synthesize(spec: NetworkSpec, weights_dir: str | None,
+                       precision: str, synthetic: bool = False,
+                       seed: int = 0,
+                       calib_images: list[np.ndarray] | None = None) -> WeightStore:
+    """Load the reference .bin artifact set from ``weights_dir`` or build a
+    synthetic store (with on-the-fly Q calibration for int16)."""
+    if not synthetic and weights_dir:
+        if precision == "int16":
+            wp = _first_existing(weights_dir, ["weights_reorg_int16.bin",
+                                               "weight_int16.bin"])
+            reorg = wp.endswith("weights_reorg_int16.bin")
+            return WeightStore.load_int16(
+                spec, wp, os.path.join(weights_dir, "bias_int16.bin"),
+                weights_dir, reorg=reorg)
+        wp = _first_existing(weights_dir, ["weights_reorg.bin", "weights.bin"])
+        reorg = wp.endswith("weights_reorg.bin")
+        return WeightStore.load_fp32(
+            spec, wp, os.path.join(weights_dir, "bias.bin"), reorg=reorg)
+
+    ylog.info(f"using synthetic weights (seed={seed})")
+    store = WeightStore.synthetic(spec, seed=seed)
+    if precision == "int16":
+        if calib_images is None:
+            rng = np.random.default_rng(seed)
+            calib_images = [rng.random(
+                (spec.net.channels, spec.net.height, spec.net.width)
+            ).astype(np.float32)]
+        act_q = calibrate_activations(spec, store, calib_images)
+        quantize_weights(store, act_q)
+    return store
+
+
+def _first_existing(dirpath: str, names: list[str]) -> str:
+    for n in names:
+        p = os.path.join(dirpath, n)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(f"none of {names} found in {dirpath}")
