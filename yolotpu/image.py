@@ -47,29 +47,31 @@ def resize_image(im: np.ndarray, w: int, h: int) -> np.ndarray:
     c, src_h, src_w = im.shape
     im = im.astype(np.float32)
 
-    # horizontal
+    # horizontal. Index math is float32 end-to-end to match the C code's
+    # ``float sx = c * w_scale`` exactly (f64 here occasionally lands on the
+    # other side of an integer boundary, shifting ix/dx by one source pixel).
     if w == 1:
         part = im[:, :, :1].copy()
     else:
-        w_scale = (src_w - 1) / (w - 1)
-        cols = np.arange(w, dtype=np.float64)
+        w_scale = np.float32(np.float32(src_w - 1) / np.float32(w - 1))
+        cols = np.arange(w, dtype=np.float32)
         sx = cols * w_scale
         ix = sx.astype(np.int64)
-        dx = (sx - ix).astype(np.float32)
-        last = (cols == w - 1) | (src_w == 1)
+        dx = (sx - ix.astype(np.float32)).astype(np.float32)
+        last = (np.arange(w) == w - 1) | (src_w == 1)
         ix0 = np.where(last, src_w - 1, ix)
         ix1 = np.minimum(ix0 + 1, src_w - 1)
-        d = np.where(last, 0.0, dx).astype(np.float32)
+        d = np.where(last, np.float32(0.0), dx).astype(np.float32)
         part = (1 - d) * im[:, :, ix0] + d * im[:, :, ix1]
 
     # vertical
     if h == 1:
         return part[:, :1, :].astype(np.float32)
-    h_scale = (src_h - 1) / (h - 1)
-    rows = np.arange(h, dtype=np.float64)
+    h_scale = np.float32(np.float32(src_h - 1) / np.float32(h - 1))
+    rows = np.arange(h, dtype=np.float32)
     sy = rows * h_scale
     iy = np.minimum(sy.astype(np.int64), src_h - 1)
-    dy = (sy - iy).astype(np.float32)
+    dy = (sy - iy.astype(np.float32)).astype(np.float32)
     out = (1 - dy)[None, :, None] * part[:, iy, :]
     take2 = ~((rows == h - 1) | (src_h == 1))
     iy1 = np.minimum(iy + 1, src_h - 1)
@@ -102,25 +104,25 @@ def resize_image_scalar(im: np.ndarray, w: int, h: int) -> np.ndarray:
     for cross-checking the vectorized version in tests."""
     c, src_h, src_w = im.shape
     part = np.zeros((c, src_h, w), np.float32)
-    w_scale = (src_w - 1) / (w - 1) if w > 1 else 0.0
-    h_scale = (src_h - 1) / (h - 1) if h > 1 else 0.0
+    w_scale = np.float32(src_w - 1) / np.float32(w - 1) if w > 1 else np.float32(0)
+    h_scale = np.float32(src_h - 1) / np.float32(h - 1) if h > 1 else np.float32(0)
     for k in range(c):
         for r in range(src_h):
             for col in range(w):
                 if col == w - 1 or src_w == 1:
                     val = im[k, r, src_w - 1]
                 else:
-                    sx = col * w_scale
+                    sx = np.float32(np.float32(col) * w_scale)
                     ix = int(sx)
-                    dx = sx - ix
+                    dx = np.float32(sx - np.float32(ix))
                     val = (1 - dx) * im[k, r, ix] + dx * im[k, r, ix + 1]
                 part[k, r, col] = val
     out = np.zeros((c, h, w), np.float32)
     for k in range(c):
         for r in range(h):
-            sy = r * h_scale
+            sy = np.float32(np.float32(r) * h_scale)
             iy = int(sy)
-            dy = sy - iy
+            dy = np.float32(sy - np.float32(iy))
             out[k, r, :] = (1 - dy) * part[k, iy, :]
             if r == h - 1 or src_h == 1:
                 continue
