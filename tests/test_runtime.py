@@ -1,0 +1,179 @@
+"""Streaming runtime: JSONL, MJPEG, video reader, stream loop, CLIs."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from yolotpu.models import zoo
+from yolotpu.postprocess import Detection
+from yolotpu.runtime.jsonl import JsonlWriter
+from yolotpu.runtime.camera import yuyv_to_rgb
+
+
+def _det(x, y, w, h, obj, probs):
+    return Detection(bbox=(x, y, w, h), objectness=obj,
+                     prob=np.asarray(probs, np.float32), classes=len(probs))
+
+
+def test_jsonl_record_format(tmp_path):
+    p = tmp_path / "out.jsonl"
+    w = JsonlWriter(str(p))
+    dets = [_det(0.5, 0.5, 0.25, 0.5, 0.9, [0.8, 0.1]),
+            _det(0.1, 0.1, 0.05, 0.05, 0.3, [0.0, 0.1])]  # below thresh
+    w.write_record("video", "clip.mp4", 7, 3, 640, 480, dets,
+                   ["dog", "cat"], thresh=0.25)
+    w.close()
+    rec = json.loads(p.read_text().strip())
+    assert rec["mode"] == "video" and rec["source"] == "clip.mp4"
+    assert rec["frame_index"] == 7 and rec["inference_index"] == 3
+    assert rec["width"] == 640 and rec["height"] == 480
+    assert len(rec["detections"]) == 1
+    d = rec["detections"][0]
+    assert d["class_id"] == 0 and d["label"] == "dog"
+    assert d["bbox_px"] == {"x0": int(0.375 * 640), "y0": int(0.25 * 480),
+                            "x1": int(0.625 * 640), "y1": int(0.75 * 480)}
+
+
+def test_yuyv_to_rgb_bt601():
+    # white pixel: Y=235 U=V=128 -> ~(255,255,255); black: Y=16 -> (0,0,0)
+    yuyv = np.array([235, 128, 16, 128], np.uint8)
+    rgb = yuyv_to_rgb(yuyv, 2, 1)
+    assert rgb.shape == (1, 2, 3)
+    assert (rgb[0, 0] > 250).all()
+    assert (rgb[0, 1] < 5).all()
+    # pure-ish red: Y=81 U=90 V=240 (BT.601)
+    rgb = yuyv_to_rgb(np.array([81, 90, 81, 240], np.uint8), 2, 1)
+    r, g, b = rgb[0, 0]
+    assert r > 200 and g < 60 and b < 110
+
+
+def test_mjpeg_streamer_serves_frames():
+    from yolotpu.runtime.mjpeg import MjpegStreamer, BOUNDARY
+    s = MjpegStreamer(port=0, bind="127.0.0.1", fps=30, quality=70)
+    try:
+        frame = np.zeros((32, 32, 3), np.uint8)
+        frame[:, :, 0] = 255
+        s.update_rgb(frame)
+        conn = socket.create_connection(("127.0.0.1", s.port), timeout=5)
+        conn.sendall(b"GET / HTTP/1.0\r\n\r\n")
+        data = b""
+        t0 = time.time()
+        while b"\xff\xd9" not in data and time.time() - t0 < 5:
+            data += conn.recv(65536)
+        conn.close()
+        assert b"multipart/x-mixed-replace" in data
+        assert BOUNDARY.encode() in data
+        assert b"\xff\xd8" in data  # JPEG SOI present
+    finally:
+        s.stop()
+
+
+@pytest.fixture
+def tiny_video(tmp_path):
+    import cv2
+    path = str(tmp_path / "clip.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    if not wr.isOpened():
+        pytest.skip("cv2 VideoWriter unavailable")
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        frame = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        wr.write(frame)
+    wr.release()
+    return path
+
+
+def test_opencv_video_reader(tiny_video):
+    from yolotpu.runtime.video import open_video
+    rd = open_video(tiny_video, width=64, height=64)
+    n = 0
+    while True:
+        f = rd.read()
+        if f is None:
+            break
+        assert f.shape == (64, 64, 3) and f.dtype == np.uint8
+        n += 1
+    rd.close()
+    assert n == 8
+
+
+def test_stream_runner_end_to_end(tiny_video, tmp_path):
+    """Golden-backend streaming on a tiny net: JSONL + annotated PNGs out."""
+    from yolotpu.runtime.engine import Engine, load_or_synthesize
+    from yolotpu.runtime.stream import StreamConfig, StreamRunner
+    from yolotpu.runtime.video import open_video
+
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = load_or_synthesize(spec, None, "fp32", synthetic=True)
+    eng = Engine(spec, store, precision="fp32", backend="golden")
+    cfg = StreamConfig(thresh=0.25, nms=0.45, infer_every=2, max_frames=3,
+                       save_annotated_dir=str(tmp_path / "ann"),
+                       output_json=str(tmp_path / "dets.jsonl"),
+                       mode="video", source=tiny_video,
+                       labels=[str(i) for i in range(80)])
+    src = open_video(tiny_video, 64, 64)
+    summary = StreamRunner(eng, cfg).run(src)
+    src.close()
+    assert summary["count"] == 3            # 8 frames, every 2nd, capped at 3
+    recs = [json.loads(l) for l in open(tmp_path / "dets.jsonl")]
+    assert len(recs) == 3
+    assert recs[0]["frame_index"] == 0 and recs[1]["frame_index"] == 2
+    pngs = os.listdir(tmp_path / "ann")
+    assert len(pngs) == 3
+
+
+def test_weight_gen_cli_roundtrip(tmp_path):
+    from yolotpu.cli.weight_gen import main as wg
+    from yolotpu.weights import WeightStore
+    spec = zoo.build("yolov2-tiny")
+    store = WeightStore.synthetic(spec, seed=1)
+    store.save_fp32(str(tmp_path))
+    rc = wg(["--model", "yolov2-tiny",
+             "--weights", str(tmp_path / "weights.bin"),
+             "--out", str(tmp_path / "weights_reorg.bin")])
+    assert rc == 0
+    rc = wg(["--model", "yolov2-tiny", "--unreorg",
+             "--weights", str(tmp_path / "weights_reorg.bin"),
+             "--out", str(tmp_path / "weights_back.bin")])
+    assert rc == 0
+    a = np.fromfile(tmp_path / "weights.bin", np.float32)
+    b = np.fromfile(tmp_path / "weights_back.bin", np.float32)
+    np.testing.assert_array_equal(a, b)
+    # in-place guard
+    rc = wg(["--model", "yolov2-tiny",
+             "--weights", str(tmp_path / "weights.bin"),
+             "--out", str(tmp_path / "weights.bin")])
+    assert rc == 1
+
+
+def test_detect_cli_golden(tmp_path, monkeypatch):
+    from yolotpu.cli.detect import main as detect
+    from yolotpu.image import save_image
+    img = np.random.default_rng(0).random((3, 96, 128)).astype(np.float32)
+    save_image(img, str(tmp_path / "in.png"))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("YOLO2_NO_DUMP", "1")
+    rc = detect(["--backend", "golden", "--synthetic-weights",
+                 "--input", str(tmp_path / "in.png"),
+                 "--output", str(tmp_path / "pred")])
+    assert rc == 0
+    assert (tmp_path / "pred.png").exists()
+
+
+def test_profiler_tiny():
+    from yolotpu.runtime.profiler import profile_layers
+    from yolotpu.weights import WeightStore
+    spec = zoo.build("yolov2-tiny", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    rep = profile_layers(spec, store, "fp32", repeats=1)
+    assert len(rep.timings) == spec.n
+    txt = rep.render()
+    assert "Top 10 slowest layers" in txt
+    assert rep.total_ms > 0

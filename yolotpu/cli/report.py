@@ -1,0 +1,211 @@
+"""Performance report bundles: ``yolo2_report.py`` equivalent.
+
+The reference tool bundles HLS csynth XML, Vivado timing/utilization/power
+reports and board logs into ``reports/<ts>_<label>/{meta,metrics}.json +
+summary.md`` with a ``compare`` diff view (``scripts/yolo2_report.py``,
+``scripts/YOLO2_REPORT_TOOL.md:163-199``). The TPU analog collects:
+
+- run metrics: mean/median/p90 step latency and FPS from timed inferences
+  (the same statistics the reference regexes out of board logs),
+- "utilization": XLA compile time and the compiled program's memory
+  analysis (HBM argument/output/temp sizes — the TPU's LUT/DSP table),
+- environment: device kind, jax version, precision/compute mode.
+
+Subcommands: init, run, list, compare.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from datetime import datetime
+
+REPORT_DIR = "reports"
+
+
+def _metrics_run(args) -> dict:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import yolov2 as m
+    from ..models import zoo
+    from ..runtime.engine import load_or_synthesize
+    from ..runtime.profiler import StepTimer
+
+    spec = zoo.build(args.model, width=args.width, height=args.height)
+    store = load_or_synthesize(spec, args.weights_dir, args.precision,
+                               synthetic=args.synthetic_weights)
+    if args.precision == "int16":
+        params = m.params_int16(spec, store)
+        fwd = m.build_forward(spec, "int16", store.qtables, args.compute,
+                              ("head", "boxes"))
+    else:
+        params = m.params_fp32(spec, store)
+        fwd = m.build_forward(spec, "fp32", outputs=("head", "boxes"))
+    fn = jax.jit(lambda x: fwd(params, x))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(
+        (args.batch, spec.net.height, spec.net.width, 3), dtype=np.float32))
+
+    t0 = time.perf_counter()
+    lowered = fn.lower(x)
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        for k in ("argument_size_in_bytes", "output_size_in_bytes",
+                  "temp_size_in_bytes", "generated_code_size_in_bytes"):
+            v = getattr(ma, k, None)
+            if v is not None:
+                mem[k] = int(v)
+    except Exception:
+        pass
+
+    out = compiled(x)
+    _ = float(jnp.sum(out["obj"]))
+    timer = StepTimer()
+    for _i in range(args.steps):
+        t0 = time.perf_counter()
+        out = compiled(x)
+        _ = float(jnp.sum(out["obj"]))
+        timer.add((time.perf_counter() - t0) * 1e3)
+    summary = timer.summary(frames_per_step=args.batch)
+
+    dev = jax.devices()[0]
+    return {
+        "model": args.model,
+        "precision": args.precision,
+        "compute": args.compute,
+        "batch": args.batch,
+        "steps": args.steps,
+        "device": str(dev.device_kind),
+        "platform": jax.default_backend(),
+        "jax_version": jax.__version__,
+        "compile_seconds": round(compile_s, 2),
+        "memory_analysis": mem,
+        "latency": summary,
+    }
+
+
+def _render_summary(meta: dict, metrics: dict) -> str:
+    lat = metrics.get("latency", {})
+    lines = [
+        f"# Report: {meta['label']}",
+        "",
+        f"- timestamp: {meta['timestamp']}",
+        f"- model: {metrics['model']}  precision: {metrics['precision']}"
+        f" ({metrics['compute']})  batch: {metrics['batch']}",
+        f"- device: {metrics['device']} ({metrics['platform']}),"
+        f" jax {metrics['jax_version']}",
+        f"- compile: {metrics['compile_seconds']} s",
+        "",
+        "## Latency / throughput",
+        f"- steps: {lat.get('count', 0)}",
+        f"- mean: {lat.get('mean_ms', 0):.2f} ms   median: "
+        f"{lat.get('median_ms', 0):.2f} ms   p90: {lat.get('p90_ms', 0):.2f} ms",
+        f"- throughput: {lat.get('fps', 0):.1f} frames/sec",
+        "",
+        "## Memory (XLA)",
+    ]
+    for k, v in metrics.get("memory_analysis", {}).items():
+        lines.append(f"- {k}: {v / 1e6:.1f} MB")
+    return "\n".join(lines) + "\n"
+
+
+def cmd_run(args) -> int:
+    metrics = _metrics_run(args)
+    ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+    d = os.path.join(args.report_dir, f"{ts}_{args.label}")
+    os.makedirs(d, exist_ok=True)
+    meta = {"label": args.label, "timestamp": ts,
+            "argv": sys.argv[1:]}
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(d, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    with open(os.path.join(d, "summary.md"), "w") as f:
+        f.write(_render_summary(meta, metrics))
+    print(d)
+    return 0
+
+
+def cmd_list(args) -> int:
+    if not os.path.isdir(args.report_dir):
+        return 0
+    for name in sorted(os.listdir(args.report_dir)):
+        mp = os.path.join(args.report_dir, name, "metrics.json")
+        if os.path.exists(mp):
+            mtr = json.load(open(mp))
+            lat = mtr.get("latency", {})
+            print(f"{name}: {mtr.get('model')} {mtr.get('precision')}"
+                  f" b{mtr.get('batch')} -> {lat.get('fps', 0):.1f} fps"
+                  f" (p50 {lat.get('median_ms', 0):.2f} ms)")
+    return 0
+
+
+def _flatten(d: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "."))
+        elif isinstance(v, (int, float)):
+            out[key] = v
+    return out
+
+
+def cmd_compare(args) -> int:
+    a = _flatten(json.load(open(os.path.join(args.report_dir, args.a, "metrics.json"))))
+    b = _flatten(json.load(open(os.path.join(args.report_dir, args.b, "metrics.json"))))
+    keys = sorted(set(a) | set(b))
+    print(f"{'metric':42s} {args.a[:18]:>18s} {args.b[:18]:>18s}   delta")
+    for k in keys:
+        va, vb = a.get(k), b.get(k)
+        if va is None or vb is None:
+            continue
+        delta = ""
+        if isinstance(va, (int, float)) and va:
+            delta = f"{100.0 * (vb - va) / abs(va):+.1f}%"
+        print(f"{k:42s} {va:>18} {vb:>18}   {delta}")
+    return 0
+
+
+def cmd_init(args) -> int:
+    os.makedirs(args.report_dir, exist_ok=True)
+    print(f"initialized {args.report_dir}/")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="yolo2_report", description=__doc__)
+    ap.add_argument("--report-dir", default=REPORT_DIR)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("init")
+    runp = sub.add_parser("run")
+    runp.add_argument("--label", default="run")
+    runp.add_argument("--model", default="yolov2")
+    runp.add_argument("--precision", default="int16", choices=["fp32", "int16"])
+    runp.add_argument("--compute", default="int32")
+    runp.add_argument("--batch", type=int, default=16)
+    runp.add_argument("--steps", type=int, default=10)
+    runp.add_argument("--width", type=int, default=None)
+    runp.add_argument("--height", type=int, default=None)
+    runp.add_argument("--weights-dir", default="weights")
+    runp.add_argument("--synthetic-weights", action="store_true")
+    sub.add_parser("list")
+    cmp_ = sub.add_parser("compare")
+    cmp_.add_argument("a")
+    cmp_.add_argument("b")
+    args = ap.parse_args(argv)
+    return {"init": cmd_init, "run": cmd_run, "list": cmd_list,
+            "compare": cmd_compare}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""Per-layer profiler + timing reports.
+
+TPU analog of the board's per-layer µs timing and top-10 latency table
+(``linux_app/src/yolo2_inference.c:45-61,75-142,900-906``). The production
+path is ONE fused XLA program, so per-layer numbers come from an
+instrumented build: each layer compiled as its own jitted segment and timed
+with forced scalar readback (the axon tunnel's block_until_ready returns
+early, so readback is the only honest sync).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph import (ConvSpec, MaxPoolSpec, NetworkSpec, RegionSpec,
+                     ReorgSpec, RouteSpec)
+
+
+@dataclass
+class LayerTiming:
+    idx: int
+    type: str
+    ms: float
+    detail: str = ""
+
+
+@dataclass
+class ProfileReport:
+    timings: list[LayerTiming] = field(default_factory=list)
+    total_ms: float = 0.0
+
+    def render(self) -> str:
+        """Mirror the reference's summary: total, slowest, top-10 table."""
+        lines = []
+        total = sum(t.ms for t in self.timings)
+        lines.append(f"Total layer time: {total:.3f} ms")
+        top = sorted(self.timings, key=lambda t: -t.ms)[:10]
+        lines.append("Top 10 slowest layers:")
+        lines.append("  rank layer type           time(ms)   share")
+        for r, t in enumerate(top, 1):
+            share = 100.0 * t.ms / total if total else 0.0
+            lines.append(f"  {r:4d} {t.idx:5d} {t.type:14s} {t.ms:8.3f}  {share:5.1f}%  {t.detail}")
+        return "\n".join(lines)
+
+
+def profile_layers(spec: NetworkSpec, store, precision: str = "fp32",
+                   compute: str = "int32", batch: int = 1,
+                   repeats: int = 5, rng_seed: int = 0) -> ProfileReport:
+    """Time every layer as an isolated jitted segment on the default device."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import yolov2 as m
+    from ..ops import convops, pool, reorg
+
+    if precision == "int16":
+        params = m.params_int16(spec, store)
+        plan = m.Int16Plan.build(spec, store.qtables)
+    else:
+        params = m.params_fp32(spec, store)
+        plan = None
+
+    rng = np.random.default_rng(rng_seed)
+    report = ProfileReport()
+
+    # materialize layer inputs by running the graph once (host-side shapes)
+    acts: dict[int, jnp.ndarray] = {}
+    x = jnp.asarray(rng.random(
+        (batch, spec.net.height, spec.net.width, spec.net.channels),
+        dtype=np.float32))
+    if plan is not None:
+        cur = convops.quantize_input_int16(x, plan.input_q)
+    else:
+        cur = x
+
+    def timed(fn, *args) -> tuple[jnp.ndarray, float]:
+        out = fn(*args)
+        _ = float(jnp.sum(out.astype(jnp.float32)))   # compile+sync
+        ts = []
+        for _i in range(repeats):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            _ = float(jnp.sum(out.astype(jnp.float32)))
+            ts.append(time.perf_counter() - t0)
+        return out, float(np.median(ts)) * 1e3
+
+    import functools
+
+    for l in spec.layers:
+        detail = ""
+        if isinstance(l, ConvSpec):
+            pw = params[f"conv{l.idx}"]
+            if plan is not None:
+                fn = jax.jit(functools.partial(
+                    convops.conv_int16, stride=l.stride, pad=l.pad,
+                    activation=l.activation,
+                    shift_out=plan.conv_shift_out[l.idx], compute=compute))
+            else:
+                fn = jax.jit(functools.partial(
+                    convops.conv_fp32, stride=l.stride, pad=l.pad,
+                    activation=l.activation))
+            cur, ms = timed(fn, cur, pw["w"], pw["b"])
+            detail = (f"{l.size}x{l.size}/{l.stride} {l.c}->{l.n} "
+                      f"{l.bflops * batch:.2f} BFLOP")
+        elif isinstance(l, MaxPoolSpec):
+            fn = jax.jit(functools.partial(pool.maxpool, size=l.size,
+                                           stride=l.stride, padding=l.padding))
+            cur, ms = timed(fn, cur)
+        elif isinstance(l, ReorgSpec):
+            fn = jax.jit(functools.partial(reorg.reorg, stride=l.stride))
+            cur, ms = timed(fn, cur)
+            if plan is not None and plan.reorg_realign.get(l.idx, 0):
+                cur = convops.realign_int16(cur, plan.reorg_realign[l.idx])
+        elif isinstance(l, RouteSpec):
+            srcs = [acts[s] for s in l.layers]
+            if len(srcs) == 1:
+                cur, ms = srcs[0], 0.0
+            else:
+                fn = jax.jit(lambda *ts: jnp.concatenate(ts, axis=-1))
+                cur, ms = timed(fn, *srcs)
+        elif isinstance(l, RegionSpec):
+            if plan is not None:
+                cur = convops.dequantize_int16(cur, plan.output_q)
+            ms = 0.0
+        acts[l.idx] = cur
+        report.timings.append(LayerTiming(l.idx, l.type, ms, detail))
+    report.total_ms = sum(t.ms for t in report.timings)
+    return report
+
+
+class StepTimer:
+    """End-to-end step latency collector -> p50/p90/mean/fps (the metrics
+    the reference's report tool extracts from 'inference time:' log lines,
+    scripts/YOLO2_REPORT_TOOL.md:177-184)."""
+
+    def __init__(self):
+        self.samples_ms: list[float] = []
+
+    def add(self, ms: float) -> None:
+        self.samples_ms.append(ms)
+
+    def summary(self, frames_per_step: int = 1) -> dict:
+        a = np.asarray(self.samples_ms)
+        if a.size == 0:
+            return {"count": 0}
+        return {
+            "count": int(a.size),
+            "mean_ms": float(a.mean()),
+            "median_ms": float(np.median(a)),
+            "p90_ms": float(np.percentile(a, 90)),
+            "fps": float(frames_per_step * 1000.0 / np.median(a)),
+        }

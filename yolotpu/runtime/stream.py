@@ -1,0 +1,169 @@
+"""Streaming inference orchestrator (camera/video modes).
+
+TPU re-design of the board app's streaming loops (``linux_app/src/main.c:
+877-1288``): frames -> ``--infer-every`` decimation -> letterbox -> device ->
+region decode -> NMS -> sinks (JSONL, annotated PNGs, MJPEG push, stdout).
+
+Pipelining: JAX dispatch is asynchronous, so the loop runs one step ahead —
+while frame N executes on the TPU, frame N-1's head is read back and
+postprocessed on host. This is the XLA-era equivalent of the reference's
+double-buffered DMA/compute overlap (``hls/core/core_scheduler.cpp:33-61``).
+
+A watchdog bounds each device step (env ``YOLO2_LAYER_TIMEOUT_MS``, default
+60000 like ``linux_app/include/yolo2_config.h:141``): a TPU step that
+exceeds it raises instead of hanging the stream forever.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..postprocess import do_nms_sort, forward_region, get_region_detections
+from . import logging as ylog
+from .profiler import StepTimer
+
+
+@dataclass
+class StreamConfig:
+    thresh: float = 0.25
+    nms: float = 0.45
+    infer_every: int = 1
+    max_frames: int = 0          # 0 = unlimited (EOF-bound)
+    save_annotated_dir: str | None = None
+    output_json: str | None = None
+    mjpeg_port: int | None = None
+    mjpeg_bind: str = "0.0.0.0"
+    mjpeg_fps: int = 15
+    mjpeg_quality: int = 80
+    mode: str = "video"
+    source: str = ""
+    labels: list[str] = field(default_factory=list)
+
+
+def _watchdog_ms() -> float:
+    try:
+        return float(os.environ.get("YOLO2_LAYER_TIMEOUT_MS", "60000"))
+    except ValueError:
+        return 60000.0
+
+
+class StreamRunner:
+    def __init__(self, engine, cfg: StreamConfig):
+        self.engine = engine
+        self.cfg = cfg
+        self.timer = StepTimer()
+        self._jsonl = None
+        self._mjpeg = None
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        if cfg.output_json:
+            from .jsonl import JsonlWriter
+            self._jsonl = JsonlWriter(cfg.output_json)
+        if cfg.mjpeg_port is not None:
+            from .mjpeg import MjpegStreamer
+            self._mjpeg = MjpegStreamer(cfg.mjpeg_port, cfg.mjpeg_bind,
+                                        cfg.mjpeg_fps, cfg.mjpeg_quality)
+            ylog.info(f"MJPEG stream on http://{cfg.mjpeg_bind}:{self._mjpeg.port}/")
+
+    # ------------------------------------------------------------------
+    def run(self, frame_source) -> dict:
+        """Consume HWC uint8 RGB frames from ``frame_source.read()`` until
+        EOF or max_frames inferences. Returns the timing summary."""
+        from ..image import letterbox_image
+
+        cfg = self.cfg
+        net_w, net_h = self.engine.spec.net.width, self.engine.spec.net.height
+        frame_idx = infer_idx = submitted = 0
+        pending = None   # (future, frame, frame_idx, infer_idx, t0)
+        deadline_ms = _watchdog_ms()
+
+        while True:
+            frame = frame_source.read()
+            if frame is None:
+                break
+            frame_idx += 1
+            if (frame_idx - 1) % max(1, cfg.infer_every) != 0:
+                continue   # --infer-every decimation (main.c:1143-1147)
+            if cfg.max_frames and submitted >= cfg.max_frames:
+                break
+            submitted += 1
+
+            chw = frame.astype(np.float32).transpose(2, 0, 1) / 255.0
+            if frame.shape[0] != net_h or frame.shape[1] != net_w:
+                boxed = letterbox_image(chw, net_w, net_h)
+            else:
+                boxed = chw
+
+            t0 = time.perf_counter()
+            fut = self._pool.submit(self.engine.predict, boxed)
+            if pending is not None:
+                self._finish(*pending, deadline_ms)
+                infer_idx += 1
+            pending = (fut, frame, chw, frame_idx - 1, infer_idx, t0)
+
+        if pending is not None:
+            self._finish(*pending, deadline_ms)
+            infer_idx += 1
+
+        summary = self.timer.summary()
+        if summary.get("count"):
+            ylog.info(
+                f"{summary['count']} inferences: mean {summary['mean_ms']:.2f} ms, "
+                f"median {summary['median_ms']:.2f} ms, p90 {summary['p90_ms']:.2f} ms, "
+                f"{summary['fps']:.1f} FPS")
+        self.close()
+        return summary
+
+    # ------------------------------------------------------------------
+    def _finish(self, fut, frame, chw, frame_idx, infer_idx, t0,
+                deadline_ms) -> None:
+        cfg = self.cfg
+        try:
+            res = fut.result(timeout=deadline_ms / 1000.0)
+        except concurrent.futures.TimeoutError:
+            raise TimeoutError(
+                f"inference step exceeded YOLO2_LAYER_TIMEOUT_MS="
+                f"{deadline_ms:.0f} ms (watchdog)")
+        ms = (time.perf_counter() - t0) * 1e3
+        self.timer.add(ms)
+        ylog.layer(f"frame {frame_idx}: inference time: {ms:.2f} ms")
+
+        act = forward_region(res.head_chw.reshape(-1), self.engine.spec.region)
+        h, w = frame.shape[0], frame.shape[1]
+        dets = get_region_detections(act, self.engine.spec.region,
+                                     im_w=w, im_h=h,
+                                     net_w=self.engine.spec.net.width,
+                                     net_h=self.engine.spec.net.height,
+                                     thresh=cfg.thresh)
+        dets = do_nms_sort(dets, self.engine.spec.region.classes, cfg.nms)
+
+        if self._jsonl:
+            self._jsonl.write_record(cfg.mode, cfg.source, frame_idx,
+                                     infer_idx, w, h, dets, cfg.labels,
+                                     cfg.thresh)
+        if cfg.save_annotated_dir or self._mjpeg:
+            from .drawing import draw_detections
+            drawn = draw_detections(chw, dets, cfg.labels, cfg.thresh)
+            rgb = np.clip(drawn.transpose(1, 2, 0) * 255 + 0.5,
+                          0, 255).astype(np.uint8)
+            if cfg.save_annotated_dir:
+                os.makedirs(cfg.save_annotated_dir, exist_ok=True)
+                from PIL import Image
+                Image.fromarray(rgb).save(
+                    os.path.join(cfg.save_annotated_dir,
+                                 f"frame_{infer_idx:06d}.png"))
+            if self._mjpeg:
+                self._mjpeg.update_rgb(rgb)
+
+    def close(self) -> None:
+        if self._jsonl:
+            self._jsonl.close()
+            self._jsonl = None
+        if self._mjpeg:
+            self._mjpeg.stop()
+            self._mjpeg = None
+        self._pool.shutdown(wait=False)
