@@ -60,6 +60,8 @@ class StreamRunner:
         self._jsonl = None
         self._mjpeg = None
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        from .. import native
+        self._native = native.available()
         if cfg.output_json:
             from .jsonl import JsonlWriter
             self._jsonl = JsonlWriter(cfg.output_json)
@@ -92,11 +94,15 @@ class StreamRunner:
                 break
             submitted += 1
 
-            chw = frame.astype(np.float32).transpose(2, 0, 1) / 255.0
-            if frame.shape[0] != net_h or frame.shape[1] != net_w:
-                boxed = letterbox_image(chw, net_w, net_h)
+            needs_box = frame.shape[0] != net_h or frame.shape[1] != net_w
+            if self._native:
+                from .. import native
+                chw = native.hwc_to_chw(frame)
+                boxed = (native.frame_to_input(frame, net_w, net_h)
+                         if needs_box else chw)
             else:
-                boxed = chw
+                chw = frame.astype(np.float32).transpose(2, 0, 1) / 255.0
+                boxed = letterbox_image(chw, net_w, net_h) if needs_box else chw
 
             t0 = time.perf_counter()
             fut = self._pool.submit(self.engine.predict, boxed)
