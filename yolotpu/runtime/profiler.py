@@ -48,7 +48,8 @@ class ProfileReport:
 
 def profile_layers(spec: NetworkSpec, store, precision: str = "fp32",
                    compute: str = "int32", batch: int = 1,
-                   repeats: int = 5, rng_seed: int = 0) -> ProfileReport:
+                   repeats: int = 5, rng_seed: int = 0,
+                   progress: bool = False) -> ProfileReport:
     """Time every layer as an isolated jitted segment on the default device."""
     import jax
     import jax.numpy as jnp
@@ -76,16 +77,40 @@ def profile_layers(spec: NetworkSpec, store, precision: str = "fp32",
     else:
         cur = x
 
-    def timed(fn, *args) -> tuple[jnp.ndarray, float]:
-        out = fn(*args)
-        _ = float(jnp.sum(out.astype(jnp.float32)))   # compile+sync
+    # Per-measurement sync readbacks cost ~39 ms over the axon tunnel, so a
+    # naive loop measures the RPC. Instead: dispatch the op `chain` times on
+    # slightly distinct inputs (defeats any caching of identical calls),
+    # sync ONCE, subtract the measured roundtrip floor and divide.
+    chain = max(8, repeats)
+
+    def _floor_ms() -> float:
+        f = jax.jit(lambda v: v + 1.0)
+        v = jnp.float32(0.0)
+        _ = float(f(v))
         ts = []
-        for _i in range(repeats):
+        for _i in range(5):
             t0 = time.perf_counter()
-            out = fn(*args)
-            _ = float(jnp.sum(out.astype(jnp.float32)))
+            _ = float(f(v))
             ts.append(time.perf_counter() - t0)
-        return out, float(np.median(ts)) * 1e3
+        return float(np.median(ts)) * 1e3
+
+    floor_ms = _floor_ms()
+
+    def timed(fn, *args) -> tuple[jnp.ndarray, float]:
+        x0 = args[0]
+        rest = args[1:]
+        one = jnp.ones((), x0.dtype)
+        xs = [x0.at[(0,) * x0.ndim].add(one * i) for i in range(chain)]
+        checks = [jnp.sum(fn(xi, *rest).astype(jnp.float32)) for xi in xs]
+        _ = float(sum(float(c) for c in checks))   # compile + warm everything
+        ts = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            outs = [fn(xi, *rest) for xi in xs]
+            _ = float(jnp.sum(outs[-1].astype(jnp.float32)))
+            ts.append(time.perf_counter() - t0)
+        ms = max(0.0, (float(np.median(ts)) * 1e3 - floor_ms) / chain)
+        return fn(*args), ms
 
     import functools
 
@@ -127,6 +152,9 @@ def profile_layers(spec: NetworkSpec, store, precision: str = "fp32",
             ms = 0.0
         acts[l.idx] = cur
         report.timings.append(LayerTiming(l.idx, l.type, ms, detail))
+        if progress:
+            print(f"  layer {l.idx:2d} {l.type:14s} {ms:8.3f} ms  {detail}",
+                  flush=True)
     report.total_ms = sum(t.ms for t in report.timings)
     return report
 
