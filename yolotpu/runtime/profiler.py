@@ -99,17 +99,24 @@ def profile_layers(spec: NetworkSpec, store, precision: str = "fp32",
     def timed(fn, *args) -> tuple[jnp.ndarray, float]:
         x0 = args[0]
         rest = args[1:]
+        # bound live HBM: distinct inputs cost chain * x0.nbytes; outputs are
+        # released as soon as each queued execution retires
+        n = int(max(2, min(chain, (1 << 31) // max(x0.nbytes, 1))))
         one = jnp.ones((), x0.dtype)
-        xs = [x0.at[(0,) * x0.ndim].add(one * i) for i in range(chain)]
-        checks = [jnp.sum(fn(xi, *rest).astype(jnp.float32)) for xi in xs]
-        _ = float(sum(float(c) for c in checks))   # compile + warm everything
+        xs = [x0.at[(0,) * x0.ndim].add(one * i) for i in range(n)]
+        out = None
+        for xi in xs:                              # compile + warm
+            out = fn(xi, *rest)
+        _ = float(jnp.sum(out.astype(jnp.float32)))
         ts = []
         for _i in range(3):
             t0 = time.perf_counter()
-            outs = [fn(xi, *rest) for xi in xs]
-            _ = float(jnp.sum(outs[-1].astype(jnp.float32)))
+            out = None
+            for xi in xs:
+                out = fn(xi, *rest)
+            _ = float(jnp.sum(out.astype(jnp.float32)))
             ts.append(time.perf_counter() - t0)
-        ms = max(0.0, (float(np.median(ts)) * 1e3 - floor_ms) / chain)
+        ms = max(0.0, (float(np.median(ts)) * 1e3 - floor_ms) / n)
         return fn(*args), ms
 
     import functools
