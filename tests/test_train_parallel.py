@@ -122,3 +122,66 @@ def test_graft_entry_single_chip():
     assert out["head"].shape == (4, 13, 13, 425)
     assert out["boxes"].shape == (4, 13 * 13 * 5, 4)
     assert np.isfinite(np.asarray(out["head"])).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from yolotpu.checkpoint import (latest_checkpoint, load_checkpoint,
+                                    save_checkpoint)
+    spec = zoo.build("yolov2-tiny", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    params = m.params_fp32(spec, store)
+    vel = zeros_like_velocity(params)
+    import jax as _jax
+    pn = _jax.tree_util.tree_map(np.asarray, params)
+    vn = _jax.tree_util.tree_map(np.asarray, vel)
+    save_checkpoint(str(tmp_path), 5, pn, vn)
+    save_checkpoint(str(tmp_path), 10, pn, vn)
+    ck = latest_checkpoint(str(tmp_path))
+    assert ck.endswith("ckpt_00000010.npz")
+    step, p2, v2 = load_checkpoint(ck)
+    assert step == 10
+    np.testing.assert_array_equal(p2["conv0"]["w"], pn["conv0"]["w"])
+    np.testing.assert_array_equal(v2["conv0"]["b"], vn["conv0"]["b"])
+
+
+def test_checkpoint_prune(tmp_path):
+    import os
+    from yolotpu.checkpoint import save_checkpoint
+    p = {"conv0": {"w": np.zeros((1, 1, 1, 1), np.float32),
+                   "b": np.zeros(1, np.float32)}}
+    for s in range(6):
+        save_checkpoint(str(tmp_path), s, p, keep=3)
+    ckpts = sorted(f for f in os.listdir(tmp_path) if f.endswith(".npz"))
+    assert len(ckpts) == 3
+    assert ckpts[-1] == "ckpt_00000005.npz"
+
+
+def test_train_cli_synthetic_and_resume(tmp_path, monkeypatch):
+    from yolotpu.cli.train import main as train_main
+    monkeypatch.chdir(tmp_path)
+    rc = train_main(["--model", "yolov2-tiny", "--width", "64", "--height",
+                     "64", "--batch", "2", "--steps", "4", "--ckpt-every",
+                     "2", "--synthetic-data",
+                     "--export-weights", str(tmp_path / "wout")])
+    assert rc == 0
+    assert (tmp_path / "wout" / "weights.bin").exists()
+    # resume continues from the latest checkpoint
+    rc = train_main(["--model", "yolov2-tiny", "--width", "64", "--height",
+                     "64", "--batch", "2", "--steps", "6", "--resume",
+                     "--synthetic-data"])
+    assert rc == 0
+
+
+def test_exported_weights_loadable(tmp_path):
+    from yolotpu.checkpoint import export_weight_artifacts
+    spec = zoo.build("yolov2-tiny", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=2)
+    params = m.params_fp32(spec, store)
+    pn = {k: {"w": np.asarray(v["w"]), "b": np.asarray(v["b"])}
+          for k, v in params.items()}
+    export_weight_artifacts(pn, spec, str(tmp_path))
+    loaded = WeightStore.load_fp32(spec, str(tmp_path / "weights.bin"),
+                                   str(tmp_path / "bias.bin"))
+    for l in spec.conv_layers():
+        np.testing.assert_array_equal(loaded.fp32[l.idx][0],
+                                      store.fp32[l.idx][0])

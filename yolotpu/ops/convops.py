@@ -103,9 +103,18 @@ def conv_int16(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
     """
     xp, p = pad_same_darknet(x, w.shape[0], stride, pad, jnp.int16(0))
     if compute == "int32":
-        acc = lax.conv_general_dilated(xp, w, (stride, stride), p,
-                                       dimension_numbers=DN,
-                                       preferred_element_type=jnp.int32)
+        if w.shape[0] == 1 and w.shape[1] == 1 and stride == 1:
+            # 1x1 conv as reshape+dot: XLA's int16 *convolution* lowering is
+            # pathologically slow at small kernels (5.97 ms vs <0.05 ms for
+            # 64x52x52x256->128 on v5e), while its int16 dot is fast.
+            b_, h_, w_, c_ = xp.shape
+            acc = jnp.dot(xp.reshape(-1, c_), w.reshape(c_, -1),
+                          preferred_element_type=jnp.int32)
+            acc = acc.reshape(b_, h_, w_, -1)
+        else:
+            acc = lax.conv_general_dilated(xp, w, (stride, stride), p,
+                                           dimension_numbers=DN,
+                                           preferred_element_type=jnp.int32)
     elif compute in ("f32", "f32_highest"):
         prec = (lax.Precision.HIGHEST if compute == "f32_highest" else None)
         accf = lax.conv_general_dilated(xp.astype(jnp.float32),

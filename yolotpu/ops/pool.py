@@ -33,6 +33,14 @@ def maxpool(x: jnp.ndarray, size: int, stride: int, padding: int) -> jnp.ndarray
     if pad_h or pad_w:
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
                     constant_values=neg)
+
+    if stride == size and h % stride == 0 and w % stride == 0 and not (pad_h or pad_w):
+        # non-overlapping window: reshape + max. 11x faster than strided
+        # slices on TPU for int16 (strided int16 slices relayout terribly:
+        # 85.7 ms vs 7.9 ms for (64,416,416,32) on v5e).
+        v = x.reshape(b, out_h, stride, out_w, stride, c)
+        return jnp.max(jnp.max(v, axis=4), axis=2)
+
     out = None
     for i in range(size):
         for j in range(size):
