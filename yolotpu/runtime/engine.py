@@ -48,6 +48,8 @@ class Engine:
         if precision == "int16" and not store.int16:
             raise ValueError("int16 engine needs quantized weights "
                              "(load int16 artifacts or calibrate+quantize)")
+        if precision == "int8" and not store.int8:
+            raise ValueError("int8 engine needs quantize_weights_int8")
         if backend == "xla":
             from ..models import yolov2 as m
             t0 = time.time()
@@ -74,6 +76,10 @@ class Engine:
                 mode = "exact" if self.compute == "exact" else "int32"
                 acts = self._golden.forward_int16(boxed_chw, self.store.int16,
                                                   self.store.qtables, mode=mode)
+            elif self.precision == "int8":
+                acts = self._golden.forward_int16(boxed_chw, self.store.int8,
+                                                  self.store.qtables8,
+                                                  mode="int8")
             else:
                 acts = self._golden.forward_fp32(boxed_chw, self.store.fp32)
             head = acts[self.spec.n - 1]
@@ -149,7 +155,7 @@ def load_or_synthesize(spec: NetworkSpec, weights_dir: str | None,
 
     ylog.info(f"using synthetic weights (seed={seed})")
     store = WeightStore.synthetic(spec, seed=seed)
-    if precision == "int16":
+    if precision in ("int16", "int8"):
         if calib_images is None:
             rng = np.random.default_rng(seed)
             calib_images = [rng.random(
@@ -157,6 +163,9 @@ def load_or_synthesize(spec: NetworkSpec, weights_dir: str | None,
             ).astype(np.float32)]
         act_q = calibrate_activations(spec, store, calib_images)
         quantize_weights(store, act_q)
+        if precision == "int8":
+            from ..quant import quantize_weights_int8
+            quantize_weights_int8(store, [q - 8 for q in act_q])
     return store
 
 

@@ -114,7 +114,9 @@ class WeightStore:
     spec: NetworkSpec
     fp32: dict[int, tuple[np.ndarray, np.ndarray]] = field(default_factory=dict)
     int16: dict[int, tuple[np.ndarray, np.ndarray]] = field(default_factory=dict)
-    qtables: QTables | None = None
+    int8: dict[int, tuple[np.ndarray, np.ndarray]] = field(default_factory=dict)
+    qtables: QTables | None = None          # int16 tier
+    qtables8: QTables | None = None         # w8a8 turbo tier
 
     # -- loading -----------------------------------------------------------
     @classmethod
