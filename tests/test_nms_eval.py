@@ -110,3 +110,35 @@ def test_darknet_label_io(tmp_path):
 def test_tpu_check_cpu():
     from yolotpu.cli.tpu_check import main
     assert main(["enumerate", "alloc", "compute", "latency"]) == 0
+
+
+def test_engine_device_nms_matches_host_path():
+    """device_nms engine and host postprocess agree on kept detections."""
+    from yolotpu.models import zoo
+    from yolotpu.runtime.engine import Engine, load_or_synthesize
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = load_or_synthesize(spec, None, "fp32", synthetic=True)
+    rng = np.random.default_rng(3)
+    img = rng.random((3, 96, 128)).astype(np.float32)
+
+    host_eng = Engine(spec, store, "fp32", backend="xla")
+    dev_eng = Engine(spec, store, "fp32", backend="xla", device_nms=True,
+                     thresh=0.25, nms=0.45)
+    import os
+    os.environ["YOLO2_NO_DUMP"] = "1"
+    try:
+        host_dets, _ = host_eng.detect(img, 0.25, 0.45)
+        dev_dets, _ = dev_eng.detect_device(img)
+    finally:
+        os.environ.pop("YOLO2_NO_DUMP")
+
+    host = {}
+    for d in host_dets:
+        j, p = d.best_class()
+        if p > 0.25:
+            host[tuple(np.round(d.bbox, 4))] = (j, round(p, 4))
+    dev = {}
+    for d in dev_dets:
+        j, p = d.best_class()
+        dev[tuple(np.round(d.bbox, 4))] = (j, round(p, 4))
+    assert dev == host

@@ -156,14 +156,18 @@ def _sibling_route_q(spec: NetworkSpec, reorg_idx: int,
 def build_forward(spec: NetworkSpec, precision: str = "fp32",
                   qtables: QTables | None = None, compute: str = "int32",
                   outputs: tuple[str, ...] = ("head", "boxes"),
-                  debug: bool = False):
+                  debug: bool = False, thresh: float = 0.25,
+                  nms_thresh: float = 0.45, topk: int = 64):
     """Return ``forward(params, x)`` for the given graph.
 
     x: (B, H, W, 3) float32 NHWC, already letterboxed to the net dims.
     outputs (any of):
-      "head"  — dequantized raw region input (B, h, w, oc) fp32
-      "boxes" — decoded (boxes, obj, probs) fixed-shape tensors
-      "acts"  — every layer's output (debug; forces debug=True)
+      "head"       — dequantized raw region input (B, h, w, oc) fp32
+      "boxes"      — decoded (boxes, obj, probs) fixed-shape tensors
+      "detections" — on-device thresholded class-wise NMS: fixed top-K
+                     (sel_boxes, sel_scores, sel_classes, sel_valid) —
+                     only KBs leave the device per frame
+      "acts"       — every layer's output (debug; forces debug=True)
     """
     if "acts" in outputs:
         debug = True
@@ -229,9 +233,17 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
             head = cur if plan is None else convops.dequantize_int16(cur, plan.output_q)
         if "head" in outputs:
             out["head"] = head
-        if "boxes" in outputs and region_spec is not None:
+        if (("boxes" in outputs) or ("detections" in outputs)) \
+                and region_spec is not None:
             boxes, obj, probs = region.decode_region(head, region_spec)
-            out["boxes"], out["obj"], out["probs"] = boxes, obj, probs
+            if "boxes" in outputs:
+                out["boxes"], out["obj"], out["probs"] = boxes, obj, probs
+            if "detections" in outputs:
+                from ..ops import nms as nms_ops
+                sb, ss, sc, sv = nms_ops.topk_decode_nms(
+                    boxes, obj, probs, thresh, nms_thresh, topk)
+                out["det_boxes"], out["det_scores"] = sb, ss
+                out["det_classes"], out["det_valid"] = sc, sv
         if debug:
             out["acts"] = all_acts
         return out

@@ -38,12 +38,14 @@ class PredictResult:
 class Engine:
     def __init__(self, spec: NetworkSpec, store: WeightStore,
                  precision: str = "fp32", backend: str = "xla",
-                 compute: str = "int32"):
+                 compute: str = "int32", device_nms: bool = False,
+                 thresh: float = 0.25, nms: float = 0.45, topk: int = 64):
         self.spec = spec
         self.store = store
         self.precision = precision
         self.backend = backend
         self.compute = compute
+        self.device_nms = device_nms and backend == "xla"
         self._fn = None
         if precision == "int16" and not store.int16:
             raise ValueError("int16 engine needs quantized weights "
@@ -53,9 +55,26 @@ class Engine:
         if backend == "xla":
             from ..models import yolov2 as m
             t0 = time.time()
-            self._fn, _ = m.jit_forward(spec, store, precision,
-                                        compute=compute,
-                                        outputs=("head",))
+            outputs = (("head", "detections") if self.device_nms
+                       else ("head",))
+            import jax
+            from functools import partial
+            if precision == "int16":
+                params = m.params_int16(spec, store)
+                fwd = m.build_forward(spec, "int16", store.qtables, compute,
+                                      outputs, thresh=thresh,
+                                      nms_thresh=nms, topk=topk)
+            elif precision == "int8":
+                params = m.params_int8(spec, store)
+                fwd = m.build_forward(spec, "int8", store.qtables8, compute,
+                                      outputs, thresh=thresh,
+                                      nms_thresh=nms, topk=topk)
+            else:
+                params = m.params_fp32(spec, store)
+                fwd = m.build_forward(spec, "fp32", outputs=outputs,
+                                      thresh=thresh, nms_thresh=nms,
+                                      topk=topk)
+            self._fn = jax.jit(partial(fwd, params))
             ylog.debug(f"engine: forward built in {time.time() - t0:.1f}s")
         elif backend == "golden":
             self._golden = GoldenNet(spec)
@@ -85,6 +104,38 @@ class Engine:
             head = acts[self.spec.n - 1]
         return PredictResult(head_chw=np.ascontiguousarray(head),
                              seconds=time.time() - t0)
+
+    # ------------------------------------------------------------------
+    def detect_device(self, image_chw: np.ndarray) -> tuple[list[Detection], float]:
+        """On-device decode + class-wise NMS: only the fixed top-K table is
+        read back (a few KB vs the 287 KB head). Thresholds were baked at
+        engine construction (device_nms=True)."""
+        if not self.device_nms:
+            raise ValueError("engine built without device_nms=True")
+        import jax.numpy as jnp
+        from ..image import letterbox_image
+        from ..postprocess import correct_region_boxes
+        net_w, net_h = self.spec.net.width, self.spec.net.height
+        boxed = letterbox_image(image_chw, net_w, net_h)
+        t0 = time.time()
+        out = self._fn(jnp.asarray(boxed.transpose(1, 2, 0)[None]))
+        sb = np.asarray(out["det_boxes"])[0]
+        ss = np.asarray(out["det_scores"])[0]
+        sc = np.asarray(out["det_classes"])[0]
+        sv = np.asarray(out["det_valid"])[0]
+        seconds = time.time() - t0
+        keep = sv & (ss > 0)
+        boxes = correct_region_boxes(sb[keep], image_chw.shape[2],
+                                     image_chw.shape[1], net_w, net_h)
+        dets = []
+        classes = self.spec.region.classes
+        for b, s, c in zip(boxes, ss[keep], sc[keep]):
+            prob = np.zeros(classes, np.float32)
+            prob[int(c)] = s
+            dets.append(Detection(bbox=tuple(float(v) for v in b),
+                                  objectness=float(s), prob=prob,
+                                  classes=classes))
+        return dets, seconds
 
     # ------------------------------------------------------------------
     def detect(self, image_chw: np.ndarray, thresh: float = 0.25,
