@@ -147,3 +147,33 @@ def test_batched_forward():
     h1 = np.asarray(fwd(params, x1)["head"])
     np.testing.assert_allclose(h4[0], h1[0], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(h4[3], h1[0], rtol=1e-5, atol=1e-5)
+
+
+def test_tiny_yolo_forward_fp32():
+    """yolov2-tiny exercises the stride-1 maxpool (bottom/right clipped
+    windows) through the jitted path."""
+    spec = zoo.build("yolov2-tiny", width=128, height=128)
+    store = WeightStore.synthetic(spec, seed=3)
+    rng = np.random.default_rng(3)
+    img = rng.random((3, 128, 128)).astype(np.float32)
+    acts = GoldenNet(spec).forward_fp32(img, store.fp32)
+    fwd = yolov2.build_forward(spec, "fp32", outputs=("head",))
+    params = yolov2.params_fp32(spec, store)
+    head = np.asarray(fwd(params, jnp.asarray(_nhwc(img)))["head"])[0]
+    np.testing.assert_allclose(head.transpose(2, 0, 1), acts[spec.n - 1],
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_voc_forward_int16():
+    spec = zoo.build("yolov2-voc", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=4)
+    rng = np.random.default_rng(4)
+    img = rng.random((3, 64, 64)).astype(np.float32)
+    act_q = calibrate_activations(spec, store, [img])
+    quantize_weights(store, act_q)
+    g = GoldenNet(spec).forward_int16(img, store.int16, store.qtables,
+                                      mode="int32")
+    fwd = yolov2.build_forward(spec, "int16", store.qtables, "int32", ("head",))
+    params = yolov2.params_int16(spec, store)
+    head = np.asarray(fwd(params, jnp.asarray(_nhwc(img)))["head"])[0]
+    np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
