@@ -117,3 +117,24 @@ def test_int8_jax_forward_bitexact_vs_golden():
     head = np.asarray(f8(params8, jnp.asarray(
         img.transpose(1, 2, 0)[None]))["head"])[0].transpose(2, 0, 1)
     np.testing.assert_array_equal(head, g[spec.n - 1])
+
+
+@pytest.mark.parametrize("variant", ["direct", "im2col"])
+def test_pallas_conv3x3_interpret(variant):
+    from yolotpu.ops.pallas_conv import conv3x3_int8, conv3x3_int8_im2col
+    from yolotpu.golden import im2col
+    fn = conv3x3_int8 if variant == "direct" else conv3x3_int8_im2col
+    rng = np.random.default_rng(0)
+    B, H, W, C, F = 2, 16, 20, 32, 64
+    x = rng.integers(-128, 128, (B, H, W, C)).astype(np.int8)
+    w = rng.integers(-128, 128, (3, 3, C, F)).astype(np.int8)
+    b = rng.integers(-500, 500, F).astype(np.int32)
+    got = np.asarray(fn(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                        7, True, th=8, interpret=True))
+    for i in range(B):
+        cols = im2col(x[i].transpose(2, 0, 1).astype(np.int64), 3, 1, 1)
+        acc = w.transpose(3, 2, 0, 1).reshape(F, -1).astype(np.int64) @ cols
+        acc = ((acc + (1 << 6)) >> 7) + b.reshape(-1, 1)
+        v = np.clip(acc, -128, 127)
+        v = np.clip(np.where(v < 0, -((-v) // 10), v), -128, 127).reshape(F, H, W)
+        np.testing.assert_array_equal(got[i].transpose(2, 0, 1).astype(int), v)

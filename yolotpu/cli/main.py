@@ -103,7 +103,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.camera is None and args.video is None:
         from ..image import load_image, save_image
         from ..runtime.drawing import draw_detections
-        path = args.image or "examples/dog.jpg"
+        path = args.image or os.path.join(
+            os.path.dirname(__file__), "..", "..", "examples", "scene0.png")
         im = load_image(path)
         dets, res = eng.detect(im, args.thresh, args.nms)
         print(f"inference time: {res.seconds * 1e3:.2f} ms")
