@@ -23,8 +23,8 @@ import time
 import numpy as np
 
 BASELINE_FPS = 0.1
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
-STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 
 
 def main() -> int:

@@ -177,3 +177,33 @@ def test_profiler_tiny():
     txt = rep.render()
     assert "Top 10 slowest layers" in txt
     assert rep.total_ms > 0
+
+
+def test_stream_runner_batched(tiny_video, tmp_path):
+    """Batched double-buffered feed produces the same records as single."""
+    from yolotpu.runtime.engine import Engine, load_or_synthesize
+    from yolotpu.runtime.stream import StreamConfig, StreamRunner
+    from yolotpu.runtime.video import open_video
+
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = load_or_synthesize(spec, None, "fp32", synthetic=True)
+    eng = Engine(spec, store, precision="fp32", backend="xla")
+
+    def run(batch, out):
+        cfg = StreamConfig(thresh=0.25, nms=0.45, max_frames=6,
+                           batch_size=batch, output_json=str(tmp_path / out),
+                           mode="video", source=tiny_video,
+                           labels=[str(i) for i in range(80)])
+        src = open_video(tiny_video, 64, 64)
+        s = StreamRunner(eng, cfg).run(src)
+        src.close()
+        return s
+
+    run(1, "single.jsonl")
+    run(4, "batched.jsonl")
+    a = [json.loads(l) for l in open(tmp_path / "single.jsonl")]
+    b = [json.loads(l) for l in open(tmp_path / "batched.jsonl")]
+    assert len(a) == len(b) == 6
+    for ra, rb in zip(a, b):
+        assert ra["frame_index"] == rb["frame_index"]
+        assert ra["detections"] == rb["detections"]

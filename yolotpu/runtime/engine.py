@@ -106,6 +106,16 @@ class Engine:
                              seconds=time.time() - t0)
 
     # ------------------------------------------------------------------
+    def predict_batch(self, boxed_nchw: np.ndarray) -> np.ndarray:
+        """Batched device inference: (N, 3, H, W) letterboxed frames ->
+        (N, oc, h, w) raw heads. XLA path only (the batched streaming feed)."""
+        if self.backend != "xla":
+            return np.stack([self.predict(b).head_chw for b in boxed_nchw])
+        import jax.numpy as jnp
+        x = jnp.asarray(boxed_nchw.transpose(0, 2, 3, 1))
+        return np.asarray(self._fn(x)["head"]).transpose(0, 3, 1, 2)
+
+    # ------------------------------------------------------------------
     def detect_device(self, image_chw: np.ndarray) -> tuple[list[Detection], float]:
         """On-device decode + class-wise NMS: only the fixed top-K table is
         read back (a few KB vs the 287 KB head). Thresholds were baked at

@@ -34,6 +34,7 @@ class StreamConfig:
     nms: float = 0.45
     infer_every: int = 1
     max_frames: int = 0          # 0 = unlimited (EOF-bound)
+    batch_size: int = 1          # >1: double-buffered batched device feed
     save_annotated_dir: str | None = None
     output_json: str | None = None
     mjpeg_port: int | None = None
@@ -75,6 +76,8 @@ class StreamRunner:
     def run(self, frame_source) -> dict:
         """Consume HWC uint8 RGB frames from ``frame_source.read()`` until
         EOF or max_frames inferences. Returns the timing summary."""
+        if self.cfg.batch_size > 1:
+            return self._run_batched(frame_source)
         from ..image import letterbox_image
 
         cfg = self.cfg
@@ -125,6 +128,88 @@ class StreamRunner:
         return summary
 
     # ------------------------------------------------------------------
+    def _run_batched(self, frame_source) -> dict:
+        """Double-buffered batched feed: accumulate ``batch_size`` frames,
+        dispatch the batch, and postprocess batch k-1 on the host while
+        batch k executes on the TPU (the reference's compute/transfer
+        ping-pong, core_scheduler.cpp:33-61, at batch granularity)."""
+        from ..image import letterbox_image
+        cfg = self.cfg
+        net_w = self.engine.spec.net.width
+        net_h = self.engine.spec.net.height
+        deadline_ms = _watchdog_ms()
+        frame_idx = infer_idx = submitted = 0
+        pending = None   # (future, frames, chws, idxs, t0)
+
+        def collect():
+            nonlocal frame_idx, submitted
+            frames, chws, idxs = [], [], []
+            while len(frames) < cfg.batch_size:
+                frame = frame_source.read()
+                if frame is None:
+                    break
+                frame_idx += 1
+                if (frame_idx - 1) % max(1, cfg.infer_every) != 0:
+                    continue
+                if cfg.max_frames and submitted >= cfg.max_frames:
+                    break
+                submitted += 1
+                if self._native:
+                    from .. import native
+                    chw = native.hwc_to_chw(frame)
+                    boxed = (native.frame_to_input(frame, net_w, net_h)
+                             if frame.shape[:2] != (net_h, net_w) else chw)
+                else:
+                    chw = frame.astype(np.float32).transpose(2, 0, 1) / 255.0
+                    boxed = (letterbox_image(chw, net_w, net_h)
+                             if frame.shape[:2] != (net_h, net_w) else chw)
+                frames.append((frame, chw))
+                chws.append(boxed)
+                idxs.append(frame_idx - 1)
+            return frames, chws, idxs
+
+        while True:
+            frames, boxed, idxs = collect()
+            if not frames:
+                break
+            t0 = time.perf_counter()
+            stack = np.stack(boxed)
+            if stack.shape[0] < cfg.batch_size:
+                # pad the tail batch so the jitted shape stays constant
+                pad = cfg.batch_size - stack.shape[0]
+                stack = np.concatenate(
+                    [stack, np.zeros((pad,) + stack.shape[1:], stack.dtype)])
+            fut = self._pool.submit(self.engine.predict_batch, stack)
+            if pending is not None:
+                infer_idx = self._finish_batch(*pending, infer_idx,
+                                               deadline_ms)
+            pending = (fut, frames, idxs, t0)
+            if cfg.max_frames and submitted >= cfg.max_frames:
+                break
+        if pending is not None:
+            infer_idx = self._finish_batch(*pending, infer_idx, deadline_ms)
+        summary = self.timer.summary(frames_per_step=cfg.batch_size)
+        if summary.get("count"):
+            ylog.info(f"{infer_idx} inferences in {summary['count']} batches: "
+                      f"p50 {summary['median_ms']:.2f} ms/batch, "
+                      f"{summary['fps']:.1f} FPS")
+        self.close()
+        return summary
+
+    def _finish_batch(self, fut, frames, idxs, t0, infer_idx,
+                      deadline_ms) -> int:
+        try:
+            heads = fut.result(timeout=deadline_ms / 1000.0)
+        except concurrent.futures.TimeoutError:
+            raise TimeoutError(
+                f"batched inference exceeded YOLO2_LAYER_TIMEOUT_MS watchdog")
+        self.timer.add((time.perf_counter() - t0) * 1e3)
+        for (frame, chw), fidx, head in zip(frames, idxs, heads):
+            self._postprocess(head, frame, chw, fidx, infer_idx)
+            infer_idx += 1
+        return infer_idx
+
+    # ------------------------------------------------------------------
     def _finish(self, fut, frame, chw, frame_idx, infer_idx, t0,
                 deadline_ms) -> None:
         cfg = self.cfg
@@ -137,8 +222,12 @@ class StreamRunner:
         ms = (time.perf_counter() - t0) * 1e3
         self.timer.add(ms)
         ylog.layer(f"frame {frame_idx}: inference time: {ms:.2f} ms")
+        self._postprocess(res.head_chw, frame, chw, frame_idx, infer_idx)
 
-        act = forward_region(res.head_chw.reshape(-1), self.engine.spec.region)
+    # ------------------------------------------------------------------
+    def _postprocess(self, head_chw, frame, chw, frame_idx, infer_idx) -> None:
+        cfg = self.cfg
+        act = forward_region(head_chw.reshape(-1), self.engine.spec.region)
         h, w = frame.shape[0], frame.shape[1]
         dets = get_region_detections(act, self.engine.spec.region,
                                      im_w=w, im_h=h,
