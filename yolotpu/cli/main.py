@@ -40,6 +40,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--synthetic-weights", action="store_true")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--infer-every", type=int, default=1)
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="batched double-buffered device feed (>1)")
     ap.add_argument("--cam-width", type=int, default=640)
     ap.add_argument("--cam-height", type=int, default=480)
     ap.add_argument("--cam-fps", type=int, default=30)
@@ -130,7 +132,7 @@ def main(argv: list[str] | None = None) -> int:
     # ---------------- streaming modes ----------------------------------
     cfg = StreamConfig(
         thresh=args.thresh, nms=args.nms, infer_every=args.infer_every,
-        max_frames=args.max_frames,
+        max_frames=args.max_frames, batch_size=args.batch_size,
         save_annotated_dir=args.save_annotated_dir,
         output_json=args.output_json, mjpeg_port=mjpeg_port,
         mjpeg_bind=mjpeg_bind or "0.0.0.0",

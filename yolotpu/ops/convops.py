@@ -42,11 +42,18 @@ def pad_same_darknet(x: jnp.ndarray, size: int, stride: int, pad: int,
 
 
 def conv_fp32(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int,
-              pad: int, activation: str) -> jnp.ndarray:
-    """fp32 conv + bias + activation. x (B,H,W,Cin) f32, w (k,k,Cin,Cout)."""
+              pad: int, activation: str,
+              precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """fp32 conv + bias + activation. x (B,H,W,Cin) f32, w (k,k,Cin,Cout).
+
+    Default precision is HIGHEST: on TPU the DEFAULT precision computes f32
+    convs with bf16-rounded products (rel err ~2^-9), which is not an
+    acceptable accuracy oracle. Pass precision=None for the fast path.
+    """
     xp, p = pad_same_darknet(x, w.shape[0], stride, pad, 0.0)
     out = lax.conv_general_dilated(xp, w, (stride, stride), p,
                                    dimension_numbers=DN,
+                                   precision=precision,
                                    preferred_element_type=jnp.float32)
     out = out + b
     return activate_fp32(out, activation)
