@@ -39,7 +39,8 @@ class Engine:
     def __init__(self, spec: NetworkSpec, store: WeightStore,
                  precision: str = "fp32", backend: str = "xla",
                  compute: str = "int32", device_nms: bool = False,
-                 thresh: float = 0.25, nms: float = 0.45, topk: int = 64):
+                 thresh: float = 0.25, nms: float = 0.45, topk: int = 64,
+                 warmup: bool = True):
         self.spec = spec
         self.store = store
         self.precision = precision
@@ -75,6 +76,14 @@ class Engine:
                                       thresh=thresh, nms_thresh=nms,
                                       topk=topk)
             self._fn = jax.jit(partial(fwd, params))
+            if warmup:
+                # compile at batch-1 now so the first predict() reports
+                # inference time, not compile time (the board app similarly
+                # frontloads all setup in its 8-step init, main.c:559-735)
+                import jax.numpy as jnp
+                z = jnp.zeros((1, spec.net.height, spec.net.width,
+                               spec.net.channels), jnp.float32)
+                _ = jax.block_until_ready(self._fn(z))
             ylog.debug(f"engine: forward built in {time.time() - t0:.1f}s")
         elif backend == "golden":
             self._golden = GoldenNet(spec)
