@@ -39,7 +39,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--backend", default="xla",
                     choices=["xla", "hls", "cpu", "golden"],
                     help="'hls' aliases to xla; 'cpu' to golden")
-    ap.add_argument("--precision", default="fp32", choices=["fp32", "int16"])
+    ap.add_argument("--precision", default="fp32",
+                    choices=["fp32", "int16", "int8"])
     ap.add_argument("--compute", default="int32",
                     choices=["int32", "f32", "f32_highest", "exact"],
                     help="int16 conv compute mode")

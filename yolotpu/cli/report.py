@@ -43,6 +43,10 @@ def _metrics_run(args) -> dict:
         params = m.params_int16(spec, store)
         fwd = m.build_forward(spec, "int16", store.qtables, args.compute,
                               ("head", "boxes"))
+    elif args.precision == "int8":
+        params = m.params_int8(spec, store)
+        fwd = m.build_forward(spec, "int8", store.qtables8, args.compute,
+                              ("head", "boxes"))
     else:
         params = m.params_fp32(spec, store)
         fwd = m.build_forward(spec, "fp32", outputs=("head", "boxes"))
@@ -190,7 +194,8 @@ def main(argv: list[str] | None = None) -> int:
     runp = sub.add_parser("run")
     runp.add_argument("--label", default="run")
     runp.add_argument("--model", default="yolov2")
-    runp.add_argument("--precision", default="int16", choices=["fp32", "int16"])
+    runp.add_argument("--precision", default="int16",
+                      choices=["fp32", "int16", "int8"])
     runp.add_argument("--compute", default="int32")
     runp.add_argument("--batch", type=int, default=16)
     runp.add_argument("--steps", type=int, default=10)
