@@ -49,8 +49,11 @@ def save_checkpoint(ckpt_dir: str, step: int, params: dict,
     path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz")
     fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
     os.close(fd)
-    np.savez(tmp, **flat)
-    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+    np.savez(tmp, **flat)           # numpy appends .npz to names without it
+    written = tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp
+    os.replace(written, path)
+    if os.path.exists(tmp):
+        os.remove(tmp)
     # prune
     ckpts = sorted(p for p in os.listdir(ckpt_dir)
                    if p.startswith("ckpt_") and p.endswith(".npz"))

@@ -83,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
                                synthetic=args.synthetic_weights)
     t0 = time.time()
     eng = Engine(spec, store, precision=args.precision, backend=args.backend,
-                 compute=args.compute)
+                 compute=args.compute, warmup_batch=max(1, args.batch_size))
     ylog.info(f"engine ready in {time.time() - t0:.1f}s")
 
     labels_path = args.labels or default_names(spec.region.classes)

@@ -104,32 +104,33 @@ def get_region_detections(activated: np.ndarray, spec: RegionSpec,
     lw, lh, n = spec.w, spec.h, spec.num
     coords, classes = spec.coords, spec.classes
     stride = lw * lh
-    x = activated.reshape(n, coords + classes + 1, lh, lw)
+    x = activated.reshape(n, coords + classes + 1, stride)
     biases = np.asarray(spec.biases, np.float32)
 
-    dets: list[Detection] = []
-    boxes = []
-    for i in range(stride):
-        row, col = i // lw, i % lw
-        for a in range(n):
-            obj = float(x[a, coords, row, col])
-            if obj <= thresh:
-                continue
-            bx = (col + x[a, 0, row, col]) / lw
-            by = (row + x[a, 1, row, col]) / lh
-            bw = np.exp(x[a, 2, row, col]) * biases[2 * a] / lw
-            bh = np.exp(x[a, 3, row, col]) * biases[2 * a + 1] / lh
-            probs = obj * x[a, coords + 1:, row, col]
-            probs = np.where(probs > thresh, probs, 0.0).astype(np.float32)
-            boxes.append([bx, by, bw, bh])
-            dets.append(Detection(bbox=(0, 0, 0, 0), objectness=obj,
-                                  prob=probs, classes=classes))
-    if dets:
-        corrected = correct_region_boxes(np.asarray(boxes, np.float32),
-                                         im_w, im_h, net_w, net_h, relative)
-        for d, bb in zip(dets, corrected):
-            d.bbox = tuple(float(v) for v in bb)
-    return dets
+    # vectorized decode over all (cell, anchor) pairs, iterated in darknet's
+    # order (cell-major, anchor-minor) for identical NMS tie-breaking
+    obj = x[:, coords, :]                               # (n, stride)
+    keep_a, keep_i = np.nonzero(obj > thresh)
+    order = np.argsort(keep_i * n + keep_a, kind="stable")
+    keep_a, keep_i = keep_a[order], keep_i[order]
+    if keep_a.size == 0:
+        return []
+    col = (keep_i % lw).astype(np.float32)
+    row = (keep_i // lw).astype(np.float32)
+    bx = (col + x[keep_a, 0, keep_i]) / lw
+    by = (row + x[keep_a, 1, keep_i]) / lh
+    bw = np.exp(x[keep_a, 2, keep_i]) * biases[2 * keep_a] / lw
+    bh = np.exp(x[keep_a, 3, keep_i]) * biases[2 * keep_a + 1] / lh
+    objs = obj[keep_a, keep_i]
+    probs = objs[:, None] * x[keep_a, coords + 1:, keep_i]
+    probs = np.where(probs > thresh, probs, 0.0).astype(np.float32)
+    corrected = correct_region_boxes(
+        np.stack([bx, by, bw, bh], axis=1).astype(np.float32),
+        im_w, im_h, net_w, net_h, relative)
+    return [Detection(bbox=tuple(float(v) for v in corrected[k]),
+                      objectness=float(objs[k]), prob=probs[k],
+                      classes=classes)
+            for k in range(keep_a.size)]
 
 
 # ---------------------------------------------------------------------------
@@ -154,17 +155,40 @@ def box_iou(a, b) -> float:
 def do_nms_sort(dets: list[Detection], classes: int, thresh: float) -> list[Detection]:
     """Class-wise greedy NMS, exactly do_nms_sort (yolo_post.cpp:54-85):
     compact zero-objectness entries away, then per class sort by that class's
-    prob (descending) and zero the prob of any lower box with IoU > thresh."""
+    prob (descending) and zero the prob of any lower box with IoU > thresh.
+
+    Vectorized: one IoU matrix over all surviving boxes, then per class a
+    sequential greedy pass whose suppression step is a numpy row operation
+    (identical results to the reference's scalar pair loops).
+    """
     dets = [d for d in dets if d.objectness != 0]
+    n = len(dets)
+    if n == 0:
+        return dets
+    boxes = np.asarray([d.bbox for d in dets], np.float32)
+    ious = _iou_matrix(boxes)
+    probs = np.stack([d.prob for d in dets])          # (n, classes)
     for k in range(classes):
-        dets.sort(key=lambda d: -d.prob[k])
-        for i in range(len(dets)):
-            if dets[i].prob[k] == 0:
+        order = np.argsort(-probs[:, k], kind="stable")
+        pk = probs[order, k].copy()
+        iou_o = ious[np.ix_(order, order)]
+        for i in range(n):
+            if pk[i] == 0:
                 continue
-            a = dets[i].bbox
-            for j in range(i + 1, len(dets)):
-                if dets[j].prob[k] == 0:
-                    continue
-                if box_iou(a, dets[j].bbox) > thresh:
-                    dets[j].prob[k] = 0
+            pk[i + 1:][iou_o[i, i + 1:] > thresh] = 0
+        probs[order, k] = pk
+    for d, p in zip(dets, probs):
+        d.prob = p.astype(np.float32)
     return dets
+
+
+def _iou_matrix(b: np.ndarray) -> np.ndarray:
+    x0, y0 = b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2
+    x1, y1 = b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2
+    iw = np.minimum(x1[:, None], x1) - np.maximum(x0[:, None], x0)
+    ih = np.minimum(y1[:, None], y1) - np.maximum(y0[:, None], y0)
+    inter = np.where((iw < 0) | (ih < 0), 0.0, iw * ih)
+    union = (b[:, 2] * b[:, 3])[:, None] + b[:, 2] * b[:, 3] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(union != 0, inter / union, 0.0)
+    return out.astype(np.float32)

@@ -40,7 +40,7 @@ class Engine:
                  precision: str = "fp32", backend: str = "xla",
                  compute: str = "int32", device_nms: bool = False,
                  thresh: float = 0.25, nms: float = 0.45, topk: int = 64,
-                 warmup: bool = True):
+                 warmup: bool = True, warmup_batch: int = 1):
         self.spec = spec
         self.store = store
         self.precision = precision
@@ -77,13 +77,15 @@ class Engine:
                                       topk=topk)
             self._fn = jax.jit(partial(fwd, params))
             if warmup:
-                # compile at batch-1 now so the first predict() reports
-                # inference time, not compile time (the board app similarly
-                # frontloads all setup in its 8-step init, main.c:559-735)
+                # compile now (at the batch the runtime will use) so the
+                # first predict() reports inference time, not compile time,
+                # and the streaming watchdog never times a compile (the
+                # board app similarly frontloads setup, main.c:559-735)
                 import jax.numpy as jnp
-                z = jnp.zeros((1, spec.net.height, spec.net.width,
+                z = jnp.zeros((warmup_batch, spec.net.height, spec.net.width,
                                spec.net.channels), jnp.float32)
-                _ = jax.block_until_ready(self._fn(z))
+                out = self._fn(z)
+                _ = float(jnp.sum(out["head"]))
             ylog.debug(f"engine: forward built in {time.time() - t0:.1f}s")
         elif backend == "golden":
             self._golden = GoldenNet(spec)
