@@ -207,3 +207,35 @@ def test_stream_runner_batched(tiny_video, tmp_path):
     for ra, rb in zip(a, b):
         assert ra["frame_index"] == rb["frame_index"]
         assert ra["detections"] == rb["detections"]
+
+
+def test_stream_runner_batched_device_nms(tiny_video, tmp_path):
+    """Device-NMS batched streaming produces the same best-class records."""
+    from yolotpu.runtime.engine import Engine, load_or_synthesize
+    from yolotpu.runtime.stream import StreamConfig, StreamRunner
+    from yolotpu.runtime.video import open_video
+
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = load_or_synthesize(spec, None, "fp32", synthetic=True)
+    host_eng = Engine(spec, store, "fp32", backend="xla")
+    dev_eng = Engine(spec, store, "fp32", backend="xla", device_nms=True,
+                     thresh=0.25, nms=0.45)
+
+    def run(eng, out):
+        cfg = StreamConfig(thresh=0.25, nms=0.45, max_frames=4, batch_size=2,
+                           output_json=str(tmp_path / out),
+                           mode="video", source=tiny_video,
+                           labels=[str(i) for i in range(80)])
+        src = open_video(tiny_video, 64, 64)
+        StreamRunner(eng, cfg).run(src)
+        src.close()
+
+    run(host_eng, "host.jsonl")
+    run(dev_eng, "dev.jsonl")
+    a = [json.loads(l) for l in open(tmp_path / "host.jsonl")]
+    b = [json.loads(l) for l in open(tmp_path / "dev.jsonl")]
+    assert len(a) == len(b) == 4
+    for ra, rb in zip(a, b):
+        da = sorted([(d["class_id"], d["prob"]) for d in ra["detections"]])
+        db = sorted([(d["class_id"], d["prob"]) for d in rb["detections"]])
+        assert da == db

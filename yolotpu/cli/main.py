@@ -43,6 +43,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--infer-every", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=1,
                     help="batched double-buffered device feed (>1)")
+    ap.add_argument("--device-nms", action="store_true",
+                    help="decode + class-wise NMS on device (top-K readback)")
     ap.add_argument("--cam-width", type=int, default=640)
     ap.add_argument("--cam-height", type=int, default=480)
     ap.add_argument("--cam-fps", type=int, default=30)
@@ -83,7 +85,8 @@ def main(argv: list[str] | None = None) -> int:
                                synthetic=args.synthetic_weights)
     t0 = time.time()
     eng = Engine(spec, store, precision=args.precision, backend=args.backend,
-                 compute=args.compute, warmup_batch=max(1, args.batch_size))
+                 compute=args.compute, warmup_batch=max(1, args.batch_size),
+                 device_nms=args.device_nms, thresh=args.thresh, nms=args.nms)
     ylog.info(f"engine ready in {time.time() - t0:.1f}s")
 
     labels_path = args.labels or default_names(spec.region.classes)

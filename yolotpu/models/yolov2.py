@@ -186,6 +186,10 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
     def forward(params: dict, x: jnp.ndarray) -> dict:
         acts: dict[int, jnp.ndarray] = {}
         all_acts: dict[str, jnp.ndarray] = {}
+        if x.dtype == jnp.uint8:
+            # uint8 frames upload 4x cheaper; /255 on device is bit-identical
+            # to the host loader's f32 division (yolo2_image_loader.c:34-80)
+            x = x.astype(jnp.float32) / 255.0
         if plan is not None:
             cur = (convops.quantize_input_int8(x, plan.input_q) if is_int8
                    else convops.quantize_input_int16(x, plan.input_q))

@@ -166,13 +166,18 @@ def do_nms_sort(dets: list[Detection], classes: int, thresh: float) -> list[Dete
     if n == 0:
         return dets
     boxes = np.asarray([d.bbox for d in dets], np.float32)
-    ious = _iou_matrix(boxes)
     probs = np.stack([d.prob for d in dets])          # (n, classes)
     for k in range(classes):
-        order = np.argsort(-probs[:, k], kind="stable")
+        # only boxes with a nonzero class-k prob can suppress or be
+        # suppressed (zero-prob boxes are skipped by both loops in the
+        # reference); restrict the quadratic work to those candidates
+        cand = np.nonzero(probs[:, k] > 0)[0]
+        if cand.size <= 1:
+            continue
+        order = cand[np.argsort(-probs[cand, k], kind="stable")]
         pk = probs[order, k].copy()
-        iou_o = ious[np.ix_(order, order)]
-        for i in range(n):
+        iou_o = _iou_matrix(boxes[order])
+        for i in range(order.size):
             if pk[i] == 0:
                 continue
             pk[i + 1:][iou_o[i, i + 1:] > thresh] = 0

@@ -126,6 +126,53 @@ class Engine:
         x = jnp.asarray(boxed_nchw.transpose(0, 2, 3, 1))
         return np.asarray(self._fn(x)["head"]).transpose(0, 3, 1, 2)
 
+    def predict_batch_rgb(self, frames_nhwc_u8: np.ndarray) -> np.ndarray:
+        """Batched inference on net-sized uint8 RGB frames: the /255
+        normalization runs on device, so the host->HBM transfer is uint8
+        (4x smaller — decisive when the link is thin)."""
+        if self.backend != "xla":
+            boxed = frames_nhwc_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+            return self.predict_batch(boxed)
+        import jax.numpy as jnp
+        x = jnp.asarray(np.ascontiguousarray(frames_nhwc_u8))
+        return np.asarray(self._fn(x)["head"]).transpose(0, 3, 1, 2)
+
+    def predict_batch_detections(self, frames) -> tuple:
+        """Batched device decode+NMS (engine built with device_nms=True):
+        only the fixed top-K tables leave the chip — KBs per batch.
+        frames: (N,H,W,3) uint8 or (N,3,H,W) f32."""
+        if not self.device_nms:
+            raise ValueError("engine built without device_nms=True")
+        import jax.numpy as jnp
+        if frames.dtype == np.uint8:
+            x = jnp.asarray(np.ascontiguousarray(frames))
+        else:
+            x = jnp.asarray(frames.transpose(0, 2, 3, 1))
+        out = self._fn(x)
+        return (np.asarray(out["det_boxes"]), np.asarray(out["det_scores"]),
+                np.asarray(out["det_classes"]), np.asarray(out["det_valid"]))
+
+    def detections_from_topk(self, sb, ss, sc, sv, im_w: int,
+                             im_h: int) -> list[Detection]:
+        """One frame's top-K table -> host Detection list (letterbox-inverse
+        box correction on the few surviving boxes)."""
+        from ..postprocess import correct_region_boxes
+        keep = sv & (ss > 0)
+        classes = self.spec.region.classes
+        if not keep.any():
+            return []
+        boxes = correct_region_boxes(sb[keep], im_w, im_h,
+                                     self.spec.net.width,
+                                     self.spec.net.height)
+        dets = []
+        for b, s, c in zip(boxes, ss[keep], sc[keep]):
+            prob = np.zeros(classes, np.float32)
+            prob[int(c)] = s
+            dets.append(Detection(bbox=tuple(float(v) for v in b),
+                                  objectness=float(s), prob=prob,
+                                  classes=classes))
+        return dets
+
     # ------------------------------------------------------------------
     def detect_device(self, image_chw: np.ndarray) -> tuple[list[Detection], float]:
         """On-device decode + class-wise NMS: only the fixed top-K table is
@@ -145,17 +192,9 @@ class Engine:
         sc = np.asarray(out["det_classes"])[0]
         sv = np.asarray(out["det_valid"])[0]
         seconds = time.time() - t0
-        keep = sv & (ss > 0)
-        boxes = correct_region_boxes(sb[keep], image_chw.shape[2],
-                                     image_chw.shape[1], net_w, net_h)
-        dets = []
-        classes = self.spec.region.classes
-        for b, s, c in zip(boxes, ss[keep], sc[keep]):
-            prob = np.zeros(classes, np.float32)
-            prob[int(c)] = s
-            dets.append(Detection(bbox=tuple(float(v) for v in b),
-                                  objectness=float(s), prob=prob,
-                                  classes=classes))
+        dets = self.detections_from_topk(sb, ss, sc, sv,
+                                         image_chw.shape[2],
+                                         image_chw.shape[1])
         return dets, seconds
 
     # ------------------------------------------------------------------

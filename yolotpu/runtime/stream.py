@@ -154,16 +154,15 @@ class StreamRunner:
                 if cfg.max_frames and submitted >= cfg.max_frames:
                     break
                 submitted += 1
-                if self._native:
+                if frame.shape[:2] == (net_h, net_w):
+                    boxed = frame     # net-sized uint8: normalize on device
+                elif self._native:
                     from .. import native
-                    chw = native.hwc_to_chw(frame)
-                    boxed = (native.frame_to_input(frame, net_w, net_h)
-                             if frame.shape[:2] != (net_h, net_w) else chw)
+                    boxed = native.frame_to_input(frame, net_w, net_h)
                 else:
                     chw = frame.astype(np.float32).transpose(2, 0, 1) / 255.0
-                    boxed = (letterbox_image(chw, net_w, net_h)
-                             if frame.shape[:2] != (net_h, net_w) else chw)
-                frames.append((frame, chw))
+                    boxed = letterbox_image(chw, net_w, net_h)
+                frames.append(frame)
                 chws.append(boxed)
                 idxs.append(frame_idx - 1)
             return frames, chws, idxs
@@ -179,15 +178,32 @@ class StreamRunner:
                 pad = cfg.batch_size - stack.shape[0]
                 stack = np.concatenate(
                     [stack, np.zeros((pad,) + stack.shape[1:], stack.dtype)])
-            fut = self._pool.submit(self.engine.predict_batch, stack)
+            if getattr(self.engine, "device_nms", False):
+                fut = self._pool.submit(self.engine.predict_batch_detections,
+                                        stack if stack.dtype == np.uint8
+                                        else stack)
+            elif stack.dtype == np.uint8:
+                fut = self._pool.submit(self.engine.predict_batch_rgb, stack)
+            else:
+                fut = self._pool.submit(self.engine.predict_batch, stack)
+            # the first batch may include an XLA compile (shape/dtype not
+            # covered by warmup); don't let the watchdog count compilation
+            def _dl():
+                return (max(deadline_ms, 900_000.0) if batches_done == 0
+                        else deadline_ms)
+            batches_done = getattr(self, "_batches_done", 0)
             if pending is not None:
-                infer_idx = self._finish_batch(*pending, infer_idx,
-                                               deadline_ms)
+                infer_idx = self._finish_batch(*pending, infer_idx, _dl())
+                batches_done += 1
+                self._batches_done = batches_done
             pending = (fut, frames, idxs, t0)
             if cfg.max_frames and submitted >= cfg.max_frames:
                 break
         if pending is not None:
-            infer_idx = self._finish_batch(*pending, infer_idx, deadline_ms)
+            batches_done = getattr(self, "_batches_done", 0)
+            dl = (max(deadline_ms, 900_000.0) if batches_done == 0
+                  else deadline_ms)
+            infer_idx = self._finish_batch(*pending, infer_idx, dl)
         summary = self.timer.summary(frames_per_step=cfg.batch_size)
         if summary.get("count"):
             ylog.info(f"{infer_idx} inferences in {summary['count']} batches: "
@@ -199,14 +215,22 @@ class StreamRunner:
     def _finish_batch(self, fut, frames, idxs, t0, infer_idx,
                       deadline_ms) -> int:
         try:
-            heads = fut.result(timeout=deadline_ms / 1000.0)
+            result = fut.result(timeout=deadline_ms / 1000.0)
         except concurrent.futures.TimeoutError:
             raise TimeoutError(
                 f"batched inference exceeded YOLO2_LAYER_TIMEOUT_MS watchdog")
         self.timer.add((time.perf_counter() - t0) * 1e3)
-        for (frame, chw), fidx, head in zip(frames, idxs, heads):
-            self._postprocess(head, frame, chw, fidx, infer_idx)
-            infer_idx += 1
+        if isinstance(result, tuple):        # device-NMS top-K tables
+            sb, ss, sc, sv = result
+            for k, (frame, fidx) in enumerate(zip(frames, idxs)):
+                dets = self.engine.detections_from_topk(
+                    sb[k], ss[k], sc[k], sv[k], frame.shape[1], frame.shape[0])
+                self._emit(dets, frame, None, fidx, infer_idx)
+                infer_idx += 1
+        else:
+            for frame, fidx, head in zip(frames, idxs, result):
+                self._postprocess(head, frame, None, fidx, infer_idx)
+                infer_idx += 1
         return infer_idx
 
     # ------------------------------------------------------------------
@@ -235,13 +259,19 @@ class StreamRunner:
                                      net_h=self.engine.spec.net.height,
                                      thresh=cfg.thresh)
         dets = do_nms_sort(dets, self.engine.spec.region.classes, cfg.nms)
+        self._emit(dets, frame, chw, frame_idx, infer_idx)
 
+    def _emit(self, dets, frame, chw, frame_idx, infer_idx) -> None:
+        cfg = self.cfg
+        h, w = frame.shape[0], frame.shape[1]
         if self._jsonl:
             self._jsonl.write_record(cfg.mode, cfg.source, frame_idx,
                                      infer_idx, w, h, dets, cfg.labels,
                                      cfg.thresh)
         if cfg.save_annotated_dir or self._mjpeg:
             from .drawing import draw_detections
+            if chw is None:
+                chw = frame.astype(np.float32).transpose(2, 0, 1) / 255.0
             drawn = draw_detections(chw, dets, cfg.labels, cfg.thresh)
             rgb = np.clip(drawn.transpose(1, 2, 0) * 255 + 0.5,
                           0, 255).astype(np.uint8)
