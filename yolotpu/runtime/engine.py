@@ -182,7 +182,6 @@ class Engine:
             raise ValueError("engine built without device_nms=True")
         import jax.numpy as jnp
         from ..image import letterbox_image
-        from ..postprocess import correct_region_boxes
         net_w, net_h = self.spec.net.width, self.spec.net.height
         boxed = letterbox_image(image_chw, net_w, net_h)
         t0 = time.time()
