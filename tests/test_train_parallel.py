@@ -188,3 +188,27 @@ def test_exported_weights_loadable(tmp_path):
     for l in spec.conv_layers():
         np.testing.assert_array_equal(loaded.fp32[l.idx][0],
                                       store.fp32[l.idx][0])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_sharded_inference_matches_single_device():
+    """Batch-sharded (dp) inference over the mesh equals single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    params = m.params_fp32(spec, store)
+    fwd = m.build_forward(spec, "fp32", outputs=("head",))
+    fn = jax.jit(lambda p, x: fwd(p, x)["head"])
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((8, 64, 64, 3), dtype=np.float32))
+    want = np.asarray(fn(params, x))
+
+    mesh = pmesh.make_mesh(8)
+    xs = jax.device_put(x, pmesh.batch_sharding(mesh))
+    ps = jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, s), params,
+        pmesh.param_shardings(params, mesh),
+        is_leaf=lambda a: not isinstance(a, dict))
+    got = np.asarray(fn(ps, xs))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
