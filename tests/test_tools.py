@@ -50,3 +50,21 @@ def test_pipeline_init_config(tmp_path):
     p = tmp_path / "cfg.yaml"
     assert pl.main(["--init-config", str(p)]) == 0
     assert "model: yolov2" in p.read_text()
+
+
+def test_report_parse_log(tmp_path):
+    log = tmp_path / "run.log"
+    log.write_text(
+        "frame 0: inference time: 10.00 ms\n"
+        "noise line\n"
+        "frame 1: inference time: 20.00 ms\n"
+        "frame 2: inference time: 30.00 ms\n")
+    from yolotpu.cli.report import parse_inference_log
+    stats = parse_inference_log(str(log))
+    assert stats["count"] == 3
+    assert stats["median_ms"] == 20.0
+    assert stats["fps"] == 50.0
+    assert rp.main(["parse-log", str(log)]) == 0
+    empty = tmp_path / "empty.log"
+    empty.write_text("nothing here\n")
+    assert rp.main(["parse-log", str(empty)]) == 1

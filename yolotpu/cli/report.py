@@ -186,6 +186,38 @@ def cmd_init(args) -> int:
     return 0
 
 
+def parse_inference_log(path: str) -> dict:
+    """Extract 'inference time: X ms' lines from a run log and compute
+    count/mean/median/p90/FPS — exactly the reference report tool's KV260
+    log ingestion (scripts/YOLO2_REPORT_TOOL.md:177-184). The streaming
+    runtime emits the same lines at verbosity >= 2."""
+    import re
+    import numpy as np
+    pat = re.compile(r"inference time:\s*([0-9.]+)\s*ms")
+    vals = []
+    with open(path) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                vals.append(float(m.group(1)))
+    if not vals:
+        return {"count": 0}
+    a = np.asarray(vals)
+    return {
+        "count": int(a.size),
+        "mean_ms": round(float(a.mean()), 3),
+        "median_ms": round(float(np.median(a)), 3),
+        "p90_ms": round(float(np.percentile(a, 90)), 3),
+        "fps": round(float(1000.0 / np.median(a)), 2),
+    }
+
+
+def cmd_parse_log(args) -> int:
+    stats = parse_inference_log(args.log)
+    print(json.dumps(stats, indent=2))
+    return 0 if stats.get("count") else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="yolo2_report", description=__doc__)
     ap.add_argument("--report-dir", default=REPORT_DIR)
@@ -207,9 +239,11 @@ def main(argv: list[str] | None = None) -> int:
     cmp_ = sub.add_parser("compare")
     cmp_.add_argument("a")
     cmp_.add_argument("b")
+    plog = sub.add_parser("parse-log")
+    plog.add_argument("log")
     args = ap.parse_args(argv)
     return {"init": cmd_init, "run": cmd_run, "list": cmd_list,
-            "compare": cmd_compare}[args.cmd](args)
+            "compare": cmd_compare, "parse-log": cmd_parse_log}[args.cmd](args)
 
 
 if __name__ == "__main__":
