@@ -75,7 +75,9 @@ class Engine:
                 fwd = m.build_forward(spec, "fp32", outputs=outputs,
                                       thresh=thresh, nms_thresh=nms,
                                       topk=topk)
+            self._fwd, self._params = fwd, params
             self._fn = jax.jit(partial(fwd, params))
+            self._lbox_fns: dict = {}
             if warmup:
                 # compile now (at the batch the runtime will use) so the
                 # first predict() reports inference time, not compile time,
@@ -136,6 +138,33 @@ class Engine:
         import jax.numpy as jnp
         x = jnp.asarray(np.ascontiguousarray(frames_nhwc_u8))
         return np.asarray(self._fn(x)["head"]).transpose(0, 3, 1, 2)
+
+    def predict_batch_raw_frames(self, frames_nhwc_u8: np.ndarray):
+        """Batched inference on RAW (non-net-sized) uint8 frames: the
+        darknet-exact letterbox runs ON DEVICE (ops/letterbox.py), so only
+        raw uint8 pixels cross the host->device link. One jit per source
+        shape (camera/video sources have a fixed frame size).
+
+        Returns the head array, or the top-K detection tuple when the
+        engine was built with device_nms=True."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.letterbox import device_letterbox
+        key = frames_nhwc_u8.shape
+        fn = self._lbox_fns.get(key)
+        if fn is None:
+            net_w, net_h = self.spec.net.width, self.spec.net.height
+
+            def full(frames):
+                boxed = device_letterbox(frames, net_w, net_h)
+                return self._fwd(self._params, boxed)
+            fn = jax.jit(full)
+            self._lbox_fns[key] = fn
+        out = fn(jnp.asarray(np.ascontiguousarray(frames_nhwc_u8)))
+        if self.device_nms:
+            return (np.asarray(out["det_boxes"]), np.asarray(out["det_scores"]),
+                    np.asarray(out["det_classes"]), np.asarray(out["det_valid"]))
+        return np.asarray(out["head"]).transpose(0, 3, 1, 2)
 
     def predict_batch_detections(self, frames) -> tuple:
         """Batched device decode+NMS (engine built with device_nms=True):

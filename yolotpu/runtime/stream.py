@@ -154,8 +154,9 @@ class StreamRunner:
                 if cfg.max_frames and submitted >= cfg.max_frames:
                     break
                 submitted += 1
-                if frame.shape[:2] == (net_h, net_w):
-                    boxed = frame     # net-sized uint8: normalize on device
+                if frame.shape[:2] == (net_h, net_w) or \
+                        self.engine.backend == "xla":
+                    boxed = frame     # uint8 upload; letterbox/norm on device
                 elif self._native:
                     from .. import native
                     boxed = native.frame_to_input(frame, net_w, net_h)
@@ -178,10 +179,14 @@ class StreamRunner:
                 pad = cfg.batch_size - stack.shape[0]
                 stack = np.concatenate(
                     [stack, np.zeros((pad,) + stack.shape[1:], stack.dtype)])
-            if getattr(self.engine, "device_nms", False):
+            net_sized = stack.shape[1:3] == (self.engine.spec.net.height,
+                                             self.engine.spec.net.width)
+            if stack.dtype == np.uint8 and not net_sized:
+                fut = self._pool.submit(self.engine.predict_batch_raw_frames,
+                                        stack)
+            elif getattr(self.engine, "device_nms", False):
                 fut = self._pool.submit(self.engine.predict_batch_detections,
-                                        stack if stack.dtype == np.uint8
-                                        else stack)
+                                        stack)
             elif stack.dtype == np.uint8:
                 fut = self._pool.submit(self.engine.predict_batch_rgb, stack)
             else:
