@@ -55,14 +55,10 @@ def build_argparser() -> argparse.ArgumentParser:
     return ap
 
 
-def default_names(classes: int) -> str | None:
-    here = os.path.join(os.path.dirname(__file__), "..", "..", "configs")
-    cand = {80: "coco.names", 20: "voc.names"}.get(classes)
-    if cand:
-        p = os.path.abspath(os.path.join(here, cand))
-        if os.path.exists(p):
-            return p
-    return None
+def default_names(classes: int) -> list[str] | None:
+    """Built-in class-name table for the class count (COCO-80 / VOC-20)."""
+    from ..names import names_for
+    return names_for(classes)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -104,9 +100,11 @@ def main(argv: list[str] | None = None) -> int:
     dets, res = eng.detect(im, thresh=args.thresh, nms=args.nms)
     print(f"{os.path.basename(input_path)}: predicted in {res.seconds:.6f} seconds.")
 
-    names_path = args.names or default_names(spec.region.classes)
-    names = ([l.rstrip("\n") for l in open(names_path)] if names_path
-             else [str(i) for i in range(spec.region.classes)])
+    if args.names:
+        names = [l.rstrip("\n") for l in open(args.names)]
+    else:
+        names = (default_names(spec.region.classes)
+                 or [str(i) for i in range(spec.region.classes)])
     shown = 0
     for d in dets:
         for j in range(d.classes):

@@ -89,9 +89,11 @@ def main(argv: list[str] | None = None) -> int:
                  device_nms=args.device_nms, thresh=args.thresh, nms=args.nms)
     ylog.info(f"engine ready in {time.time() - t0:.1f}s")
 
-    labels_path = args.labels or default_names(spec.region.classes)
-    labels = ([l.rstrip("\n") for l in open(labels_path)] if labels_path
-              else [str(i) for i in range(spec.region.classes)])
+    if args.labels:
+        labels = [l.rstrip("\n") for l in open(args.labels)]
+    else:
+        labels = (default_names(spec.region.classes)
+                  or [str(i) for i in range(spec.region.classes)])
 
     if args.profile:
         from ..runtime.profiler import profile_layers
