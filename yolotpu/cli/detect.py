@@ -77,8 +77,8 @@ def main(argv: list[str] | None = None) -> int:
         print("error: no input image (use --input or positional)", file=sys.stderr)
         return 2
 
-    spec = (NetworkSpec.from_cfg(args.cfg) if args.cfg
-            else zoo.build(args.model))
+    spec = (NetworkSpec.from_cfg(args.cfg, quiet=False) if args.cfg
+            else zoo.build(args.model))   # quiet=False: unused-key warnings
     spec.describe()
 
     backend = {"hls": "xla", "cpu": "golden"}.get(args.backend, args.backend)

@@ -23,7 +23,7 @@ yolov2, yolov2-voc and yolov2-tiny all parse with the same code.
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .cfg import Section, read_cfg
 

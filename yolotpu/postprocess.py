@@ -17,7 +17,7 @@ Tensor layout for the head is darknet CHW flat: per anchor n the entries are
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -7,7 +7,8 @@ the 32 per-layer launches collapse into one jitted XLA program and the DDR
 ping-pong arena disappears into XLA buffer assignment.
 
 Backends:
-  "xla"    — the TPU path (fp32 or int16; int16 compute mode selectable)
+  "xla"    — the TPU path (fp32 / int16 / int8; int16 compute mode
+             selectable; optional on-device NMS and letterbox)
   "golden" — the numpy oracle (the "host simulation" analog; also the
              bit-exact reference-semantics mode via compute="exact")
 """

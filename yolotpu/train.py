@@ -24,7 +24,6 @@ sum-of-squares delta on softmax outputs.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .graph import ConvSpec, NetworkSpec
+from .graph import NetworkSpec
 
 # Default FPGA tile geometry (reference scripts/hw_params_gen.py:16-23).
 DEFAULT_TM = 32
