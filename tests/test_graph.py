@@ -124,3 +124,32 @@ def test_total_weight_count_yolov2():
     assert sum(l.nweights for l in spec.conv_layers()) == 50_941_792
     assert sum(l.nbiases for l in spec.conv_layers()) == 10_761
     assert abs(sum(l.bflops for l in spec.conv_layers()) - 29.47) < 0.2
+
+
+def test_zoo_cfg_roundtrip_all_models(tmp_path):
+    """Every zoo model's emitted cfg parses back to an identical graph."""
+    for name in ("yolov2", "yolov2-voc", "yolov2-tiny"):
+        p = tmp_path / f"{name}.cfg"
+        p.write_text(zoo.to_cfg(name))
+        spec = NetworkSpec.from_cfg(str(p))
+        z = zoo.build(name)
+        assert spec.n == z.n
+        for a, b in zip(spec.layers, z.layers):
+            assert type(a) is type(b)
+            assert (a.out_h, a.out_w, a.out_c) == (b.out_h, b.out_w, b.out_c)
+            if isinstance(a, RegionSpec):
+                assert np.allclose(a.biases, b.biases)
+                assert a.classes == b.classes
+
+
+def test_names_module():
+    from yolotpu.names import COCO_NAMES, VOC_NAMES, names_for, write_names, load_names
+    assert len(COCO_NAMES) == 80 and COCO_NAMES[0] == "person"
+    assert len(VOC_NAMES) == 20 and "dog" in VOC_NAMES
+    assert names_for(80) is COCO_NAMES and names_for(20) is VOC_NAMES
+    assert names_for(7) is None
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.names")
+        write_names(VOC_NAMES, p)
+        assert load_names(p) == VOC_NAMES
