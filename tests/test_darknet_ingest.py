@@ -1,0 +1,199 @@
+"""Darknet ``.weights`` blob ingestion (the nn-weight-extractor role).
+
+Fixtures are fabricated in darknet's exact binary layout (header with
+version-dependent seen width; per-conv bias/[BN]/weights in network order)
+and checked against hand-computed BN folding. Format per darknet
+src/parser.c (public); role per reference weights/README.md:33-67.
+"""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from yolotpu import darknet
+from yolotpu.graph import NetworkSpec
+from yolotpu.models import zoo
+
+TINY_CFG = """
+[net]
+height=32
+width=32
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=4
+size=1
+stride=1
+pad=1
+activation=linear
+
+[region]
+anchors=1,1
+num=1
+classes=1
+coords=4
+softmax=1
+"""
+
+
+@pytest.fixture()
+def spec(tmp_path):
+    p = tmp_path / "t.cfg"
+    p.write_text(TINY_CFG)
+    return NetworkSpec.from_cfg(str(p))
+
+
+def _rand_params(spec, rng):
+    layers = {}
+    for l in spec.conv_layers():
+        w = rng.standard_normal((l.n, l.c, l.size, l.size)).astype(np.float32)
+        b = rng.standard_normal(l.n).astype(np.float32)
+        if l.batch_normalize:
+            layers[l.idx] = darknet.ConvParams(
+                w, b,
+                scales=rng.uniform(0.5, 2.0, l.n).astype(np.float32),
+                rolling_mean=rng.standard_normal(l.n).astype(np.float32),
+                rolling_variance=rng.uniform(0.1, 2.0, l.n).astype(np.float32))
+        else:
+            layers[l.idx] = darknet.ConvParams(w, b)
+    return layers
+
+
+def test_header_layout_u64_seen(tmp_path, spec):
+    layers = _rand_params(spec, np.random.default_rng(0))
+    path = str(tmp_path / "w.weights")
+    darknet.write_darknet(path, spec, layers,
+                          darknet.DarknetHeader(0, 2, 0, seen=123456789))
+    raw = open(path, "rb").read()
+    assert struct.unpack("<iii", raw[:12]) == (0, 2, 0)
+    assert struct.unpack("<Q", raw[12:20]) == (123456789,)
+    # first conv's biases start right after the 20-byte header
+    b0 = np.frombuffer(raw[20:20 + 8 * 4], np.float32)
+    np.testing.assert_array_equal(b0, layers[0].biases)
+
+
+def test_header_layout_u32_seen(tmp_path, spec):
+    layers = _rand_params(spec, np.random.default_rng(0))
+    path = str(tmp_path / "w.weights")
+    darknet.write_darknet(path, spec, layers,
+                          darknet.DarknetHeader(0, 1, 0, seen=777))
+    raw = open(path, "rb").read()
+    assert struct.unpack("<I", raw[12:16]) == (777,)
+    blob = darknet.read_darknet(spec, path)
+    assert blob.header.seen == 777 and not blob.header.seen_is_u64
+
+
+def test_roundtrip_and_bn_folding(tmp_path, spec):
+    rng = np.random.default_rng(1)
+    layers = _rand_params(spec, rng)
+    path = str(tmp_path / "w.weights")
+    darknet.write_darknet(path, spec, layers)
+
+    blob = darknet.read_darknet(spec, path)
+    for idx, p in layers.items():
+        got = blob.layers[idx]
+        np.testing.assert_array_equal(got.weights, p.weights)
+        np.testing.assert_array_equal(got.biases, p.biases)
+        if p.scales is not None:
+            np.testing.assert_array_equal(got.scales, p.scales)
+            np.testing.assert_array_equal(got.rolling_mean, p.rolling_mean)
+            np.testing.assert_array_equal(
+                got.rolling_variance, p.rolling_variance)
+
+    store = darknet.load_darknet_weights(spec, path)
+    # conv0 has BN: fold by hand (pjreddie: sqrt(var) + 1e-6 outside)
+    p = layers[0]
+    g = p.scales / (np.sqrt(p.rolling_variance) + np.float32(1e-6))
+    np.testing.assert_allclose(store.fp32[0][0],
+                               p.weights * g[:, None, None, None], rtol=1e-6)
+    np.testing.assert_allclose(store.fp32[0][1],
+                               p.biases - g * p.rolling_mean, rtol=1e-5,
+                               atol=1e-6)
+    # conv2 has no BN: passthrough
+    np.testing.assert_array_equal(store.fp32[2][0], layers[2].weights)
+    np.testing.assert_array_equal(store.fp32[2][1], layers[2].biases)
+
+
+def test_eps_inside_variant(tmp_path, spec):
+    layers = _rand_params(spec, np.random.default_rng(2))
+    path = str(tmp_path / "w.weights")
+    darknet.write_darknet(path, spec, layers)
+    store = darknet.load_darknet_weights(spec, path, eps=1e-5,
+                                         eps_inside=True)
+    p = layers[0]
+    g = p.scales / np.sqrt(p.rolling_variance + np.float32(1e-5))
+    np.testing.assert_allclose(store.fp32[0][0],
+                               p.weights * g[:, None, None, None], rtol=1e-6)
+
+
+def test_truncated_and_trailing_fail(tmp_path, spec):
+    layers = _rand_params(spec, np.random.default_rng(3))
+    path = str(tmp_path / "w.weights")
+    darknet.write_darknet(path, spec, layers)
+    raw = open(path, "rb").read()
+    short = str(tmp_path / "short.weights")
+    open(short, "wb").write(raw[:-64])
+    with pytest.raises(ValueError, match="truncated"):
+        darknet.read_darknet(spec, short)
+    longer = str(tmp_path / "long.weights")
+    open(longer, "wb").write(raw + b"\x00" * 16)
+    with pytest.raises(ValueError, match="trailing"):
+        darknet.read_darknet(spec, longer)
+
+
+def test_yolov2_full_graph_sizes(tmp_path):
+    """The real yolov2 graph: blob sized exactly as the official 194 MB one
+    implies (BN on every conv but the last)."""
+    spec = zoo.build("yolov2")
+    rng = np.random.default_rng(0)
+    layers = {}
+    nfloats = 0
+    for l in spec.conv_layers():
+        layers[l.idx] = darknet.ConvParams(
+            np.zeros((l.n, l.c, l.size, l.size), np.float32),
+            np.zeros(l.n, np.float32),
+            *( (np.ones(l.n, np.float32), np.zeros(l.n, np.float32),
+                np.ones(l.n, np.float32)) if l.batch_normalize
+               else (None, None, None)))
+        nfloats += l.nweights + l.n * (4 if l.batch_normalize else 1)
+    path = str(tmp_path / "w.weights")
+    darknet.write_darknet(path, spec, layers)
+    import os
+    assert os.path.getsize(path) == 20 + 4 * nfloats
+    store = darknet.load_darknet_weights(spec, path)
+    assert len(store.fp32) == len(spec.conv_layers())
+    _ = rng, io
+
+
+def test_weight_gen_cli_from_darknet(tmp_path, spec, monkeypatch):
+    from yolotpu.cli import weight_gen
+    from yolotpu.weights import WeightStore
+
+    layers = _rand_params(spec, np.random.default_rng(4))
+    blob = str(tmp_path / "model.weights")
+    cfg = str(tmp_path / "t.cfg")
+    open(cfg, "w").write(TINY_CFG)
+    darknet.write_darknet(blob, spec, layers)
+    out = str(tmp_path / "artifacts")
+    rc = weight_gen.main(["--cfg", cfg, "--from-darknet", blob,
+                          "--out-dir", out])
+    assert rc == 0
+    store = WeightStore.load_fp32(spec, f"{out}/weights.bin", f"{out}/bias.bin")
+    ref = darknet.load_darknet_weights(spec, blob)
+    for idx in ref.fp32:
+        np.testing.assert_array_equal(store.fp32[idx][0], ref.fp32[idx][0])
+        np.testing.assert_array_equal(store.fp32[idx][1], ref.fp32[idx][1])

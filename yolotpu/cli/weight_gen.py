@@ -6,6 +6,12 @@ Flag contract follows the reference tool
 Adds --unreorg to invert the transform (reference artifacts -> darknet
 order) and --tm/--tn for non-default tile geometry (the reference bakes
 these into params.hpp via scripts/hw_params_gen.py).
+
+``--from-darknet BLOB --out-dir DIR`` covers the nn-weight-extractor role the
+reference outsources (``weights/README.md:33-67``): parse the darknet
+``.weights`` header, fold batch-norm, and emit the full artifact contract
+(weights.bin/bias.bin, plus the int16 set + Q tables when --calib images are
+given for activation calibration).
 """
 
 from __future__ import annotations
@@ -34,7 +40,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="invert: tile-stream order -> darknet order")
     ap.add_argument("--tm", type=int, default=DEFAULT_TM)
     ap.add_argument("--tn", type=int, default=DEFAULT_TN)
+    ap.add_argument("--from-darknet", default=None, metavar="BLOB",
+                    help="ingest a darknet .weights blob (BN folding) and "
+                         "emit the artifact contract into --out-dir")
+    ap.add_argument("--out-dir", default="weights")
+    ap.add_argument("--calib", nargs="*", default=None, metavar="IMAGE",
+                    help="calibration images: also emit int16 artifacts + Q "
+                         "tables (requires --from-darknet)")
+    ap.add_argument("--bn-eps", type=float, default=1e-6)
+    ap.add_argument("--bn-eps-inside", action="store_true",
+                    help="AlexeyAB-style sqrt(var+eps) folding instead of "
+                         "pjreddie sqrt(var)+eps")
+    ap.add_argument("--reorg-out", action="store_true",
+                    help="with --from-darknet: also write the FPGA "
+                         "tile-reorganized weight files")
     args = ap.parse_args(argv)
+
+    if args.from_darknet:
+        return _from_darknet(args)
 
     is_int16 = args.precision in ("int16", "i16", "fixed")
     dtype = np.int16 if is_int16 else np.float32
@@ -71,6 +94,37 @@ def main(argv: list[str] | None = None) -> int:
     os.makedirs(os.path.dirname(os.path.abspath(wout)), exist_ok=True)
     np.concatenate(out_parts).astype(dtype).tofile(wout)
     print(f"Reorganized weights written to {wout}")
+    return 0
+
+
+def _from_darknet(args) -> int:
+    from ..darknet import load_darknet_weights
+    from ..graph import NetworkSpec
+    from ..image import letterbox_image, load_image
+    from ..models import zoo
+    from ..quant import calibrate_activations, quantize_weights
+
+    spec = (NetworkSpec.from_cfg(args.cfg) if args.cfg
+            else zoo.build(args.model))
+    store = load_darknet_weights(spec, args.from_darknet, eps=args.bn_eps,
+                                 eps_inside=args.bn_eps_inside)
+    os.makedirs(args.out_dir, exist_ok=True)
+    store.save_fp32(args.out_dir)
+    if args.reorg_out:
+        store.save_fp32(args.out_dir, reorg=True, tm=args.tm, tn=args.tn)
+    print(f"fp32 artifacts (BN folded) written to {args.out_dir}")
+    if args.calib is not None:
+        if not args.calib:
+            print("error: --calib needs at least one image", file=sys.stderr)
+            return 1
+        calib = [letterbox_image(load_image(p), spec.net.width,
+                                 spec.net.height) for p in args.calib]
+        act_q = calibrate_activations(spec, store, calib)
+        quantize_weights(store, act_q)
+        store.save_int16(args.out_dir)
+        if args.reorg_out:
+            store.save_int16(args.out_dir, reorg=True, tm=args.tm, tn=args.tn)
+        print(f"int16 artifacts + Q tables written to {args.out_dir}")
     return 0
 
 

@@ -56,6 +56,26 @@ def activate_fp32(x: np.ndarray, activation: str) -> np.ndarray:
         return (x * (x > 0) + 0.1 * x).astype(np.float32)
     if activation == "relie":
         return np.where(x > 0, x, 0.01 * x).astype(np.float32)
+    if activation == "loggy":
+        return (2.0 / (1.0 + np.exp(-x)) - 1.0).astype(np.float32)
+    if activation == "plse":
+        # piecewise-linear sigmoid-ish (yolo_math.cpp plse_activate)
+        return np.where(x < -4, 0.01 * (x + 4),
+                        np.where(x > 4, 0.01 * (x - 4) + 1,
+                                 0.125 * x + 0.5)).astype(np.float32)
+    if activation == "stair":
+        # int n = floor(x); n%2==0 ? floor(x/2) : (x-n) + floor(x/2)
+        # (C remainder: negative odd n gives n%2 == -1, i.e. the else branch)
+        nf = np.floor(x)
+        half = np.floor(x / 2.0)
+        return np.where(np.fmod(nf, 2.0) == 0, half,
+                        (x - nf) + half).astype(np.float32)
+    if activation == "hardtan":
+        return np.clip(x, -1.0, 1.0).astype(np.float32)
+    if activation == "lhtan":
+        return np.where(x < 0, 0.001 * x,
+                        np.where(x > 1, 0.001 * (x - 1) + 1, x)
+                        ).astype(np.float32)
     raise NotImplementedError(f"activation {activation}")
 
 

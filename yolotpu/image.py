@@ -51,7 +51,9 @@ def resize_image(im: np.ndarray, w: int, h: int) -> np.ndarray:
     # ``float sx = c * w_scale`` exactly (f64 here occasionally lands on the
     # other side of an integer boundary, shifting ix/dx by one source pixel).
     if w == 1:
-        part = im[:, :, :1].copy()
+        # darknet's `c == w-1` branch wins at col 0 when w==1: the LAST
+        # source column is copied (yolo_image.cpp:93-95)
+        part = im[:, :, -1:].copy()
     else:
         w_scale = np.float32(np.float32(src_w - 1) / np.float32(w - 1))
         cols = np.arange(w, dtype=np.float32)

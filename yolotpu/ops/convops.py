@@ -60,6 +60,7 @@ def conv_fp32(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int,
 
 
 def activate_fp32(x: jnp.ndarray, activation: str) -> jnp.ndarray:
+    """All 13 darknet activations (yolo_math.cpp:111-129)."""
     if activation == "linear":
         return x
     if activation == "leaky":
@@ -68,6 +69,29 @@ def activate_fp32(x: jnp.ndarray, activation: str) -> jnp.ndarray:
         return jnp.maximum(x, 0)
     if activation == "logistic":
         return jax.nn.sigmoid(x)
+    if activation == "tanh":
+        return jnp.tanh(x)
+    if activation == "elu":
+        return jnp.where(x >= 0, x, jnp.expm1(x))
+    if activation == "ramp":
+        return x * (x > 0) + 0.1 * x
+    if activation == "relie":
+        return jnp.where(x > 0, x, 0.01 * x)
+    if activation == "loggy":
+        return 2.0 * jax.nn.sigmoid(x) - 1.0
+    if activation == "plse":
+        return jnp.where(x < -4, 0.01 * (x + 4),
+                         jnp.where(x > 4, 0.01 * (x - 4) + 1,
+                                   0.125 * x + 0.5))
+    if activation == "stair":
+        nf = jnp.floor(x)
+        half = jnp.floor(x / 2.0)
+        return jnp.where(jnp.fmod(nf, 2.0) == 0, half, (x - nf) + half)
+    if activation == "hardtan":
+        return jnp.clip(x, -1.0, 1.0)
+    if activation == "lhtan":
+        return jnp.where(x < 0, 0.001 * x,
+                         jnp.where(x > 1, 0.001 * (x - 1) + 1, x))
     raise NotImplementedError(activation)
 
 

@@ -91,6 +91,11 @@ def _matmul_requant(x, w, bias, shift_out, leaky, out_dtype, out_min,
     tm = _pick_tile(M, 512, 32)
     tn = _pick_tile(N, 512, 128)
     tk = _pick_tile(K, 512, 128) if K % 128 == 0 else K
+    # M is padded below; N and K are not — fail loudly on shapes the grid
+    # would silently truncate (grid N//tn drops trailing columns otherwise)
+    if N % tn or K % tk:
+        raise ValueError(f"matmul_requant: N={N} K={K} must tile by "
+                         f"(tn={tn}, tk={tk}); pad N/K to multiples of 128")
     pad_m = (-M) % tm
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))

@@ -20,6 +20,28 @@ import jax.numpy as jnp
 from ..graph import RegionSpec
 
 
+def _activate_obj_cls(x: jnp.ndarray, spec: RegionSpec):
+    """Objectness + class activation honoring the cfg's ``softmax`` and
+    ``background`` options exactly as ``forward_region_layer`` does
+    (yolo_region.cpp:123-141): obj is logistic unless background=1; the
+    softmax (when softmax=1) runs over classes+background entries starting
+    at coords + !background, sourced from the RAW tensor. Detection reads
+    entry ``coords`` as objectness and ``coords+1+j`` as class j
+    (yolo_region.cpp:169-195), so with background=1 the objectness IS the
+    softmax's background component."""
+    coords = spec.coords
+    tobj = x[..., coords]
+    if spec.background:
+        if spec.softmax:
+            sm = jax.nn.softmax(x[..., coords:], axis=-1)
+            return sm[..., 0], sm[..., 1:]
+        return tobj, x[..., coords + 1:]
+    obj = jax.nn.sigmoid(tobj)
+    tcls = x[..., coords + 1:]
+    probs = jax.nn.softmax(tcls, axis=-1) if spec.softmax else tcls
+    return obj, probs
+
+
 def decode_region(head: jnp.ndarray, spec: RegionSpec):
     """head: (B, h, w, n*(coords+classes+1)) fp32 raw conv output."""
     bsz, lh, lw, _ = head.shape
@@ -28,8 +50,6 @@ def decode_region(head: jnp.ndarray, spec: RegionSpec):
 
     tx, ty = x[..., 0], x[..., 1]
     tw, th = x[..., 2], x[..., 3]
-    tobj = x[..., coords]
-    tcls = x[..., coords + 1:]
 
     col = jnp.arange(lw, dtype=jnp.float32)[None, None, :, None]
     row = jnp.arange(lh, dtype=jnp.float32)[None, :, None, None]
@@ -39,8 +59,7 @@ def decode_region(head: jnp.ndarray, spec: RegionSpec):
     by = (row + jax.nn.sigmoid(ty)) / lh
     bw = jnp.exp(tw) * biases[:, 0] / lw
     bh = jnp.exp(th) * biases[:, 1] / lh
-    obj = jax.nn.sigmoid(tobj)
-    probs = jax.nn.softmax(tcls, axis=-1)
+    obj, probs = _activate_obj_cls(x, spec)
 
     # flatten in darknet's detection iteration order: cell-major, anchor-minor
     # (get_region_detections loops i over h*w then n; yolo_region.cpp:174-193)
@@ -56,7 +75,6 @@ def activated_head(head: jnp.ndarray, spec: RegionSpec) -> jnp.ndarray:
     x = head.reshape(bsz, lh, lw, n, coords + classes + 1)
     xy = jax.nn.sigmoid(x[..., :2])
     wh = x[..., 2:coords]
-    obj = jax.nn.sigmoid(x[..., coords:coords + 1])
-    cls = jax.nn.softmax(x[..., coords + 1:], axis=-1)
-    out = jnp.concatenate([xy, wh, obj, cls], axis=-1)
+    obj, cls = _activate_obj_cls(x, spec)
+    out = jnp.concatenate([xy, wh, obj[..., None], cls], axis=-1)
     return out.reshape(bsz, lh, lw, n * (coords + classes + 1))

@@ -82,7 +82,6 @@ def region_loss(head: jnp.ndarray, truth_boxes: jnp.ndarray,
     ious_all = jnp.where(truth_mask[:, None, None, None, :] > 0, ious_all, 0.0)
     best_iou = ious_all.max(axis=-1)
     noobj = (best_iou <= cfg.thresh).astype(jnp.float32)
-    loss_noobj = cfg.noobject_scale * jnp.sum(noobj * obj ** 2)
 
     # --- per-truth responsible anchor: best shape-IoU at (0,0)
     M = truth_boxes.shape[1]
@@ -100,6 +99,14 @@ def region_loss(head: jnp.ndarray, truth_boxes: jnp.ndarray,
     bidx = jnp.arange(B)[:, None] * jnp.ones((1, M), jnp.int32)
     g = (bidx, cj, ci, best_n)
 
+    mask = truth_mask.astype(jnp.float32)
+    # darknet overwrites the noobj delta at the truth-assigned slot
+    # (region_layer.c: delta[obj_index] is recomputed by the object term),
+    # so the responsible anchor must NOT also be pulled toward 0
+    assigned = jnp.zeros_like(obj).at[g].max(mask)
+    loss_noobj = cfg.noobject_scale * jnp.sum(
+        noobj * (1.0 - assigned) * obj ** 2)
+
     # gather predictions at assigned slots
     p_sx, p_sy = sx[g], sy[g]
     p_tw, p_th = tw[g], th[g]
@@ -114,7 +121,6 @@ def region_loss(head: jnp.ndarray, truth_boxes: jnp.ndarray,
     t_tw = jnp.log(jnp.maximum(truth_boxes[..., 2], 1e-9) / a_w)
     t_th = jnp.log(jnp.maximum(truth_boxes[..., 3], 1e-9) / a_h)
 
-    mask = truth_mask.astype(jnp.float32)
     loss_coord = cfg.coord_scale * jnp.sum(mask * (
         (p_sx - t_tx) ** 2 + (p_sy - t_ty) ** 2 +
         (p_tw - t_tw) ** 2 + (p_th - t_th) ** 2))
