@@ -37,7 +37,7 @@ def test_device_nms_matches_darknet_cpu():
         if p > thresh:
             ref_set[tuple(np.round(d.bbox, 5))] = (j, round(float(p), 5))
 
-    sb, ss, sc, sv = dnms.topk_decode_nms(
+    sb, ss, sc, sv, _sat = dnms.topk_decode_nms(
         jnp.asarray(boxes)[None], jnp.asarray(obj)[None],
         jnp.asarray(probs)[None], thresh, nt, topk=40)
     got = {}
@@ -54,7 +54,7 @@ def test_device_nms_suppression_basic():
                           [0.9, 0.9, 0.1, 0.1]]], jnp.float32)
     obj = jnp.asarray([[0.9, 0.8, 0.7]], jnp.float32)
     probs = jnp.asarray([[[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]], jnp.float32)
-    sb, ss, sc, sv = dnms.topk_decode_nms(boxes, obj, probs, 0.3, 0.45, topk=3)
+    sb, ss, sc, sv, _sat = dnms.topk_decode_nms(boxes, obj, probs, 0.3, 0.45, topk=3)
     valid = [(float(ss[0, i]), int(sc[0, i])) for i in range(3) if bool(sv[0, i])]
     # box1 suppressed by box0 (same class, IoU ~0.82); box2 other class kept
     assert len(valid) == 2
@@ -142,3 +142,52 @@ def test_engine_device_nms_matches_host_path():
         j, p = d.best_class()
         dev[tuple(np.round(d.bbox, 4))] = (j, round(p, 4))
     assert dev == host
+
+
+def test_device_nms_dense_scene_topk256():
+    """VERDICT #7: a scene with far more than 64 above-threshold candidates
+    must match the host path exactly at the default K=256, and the
+    saturation flag must fire when K is too small."""
+    rng = np.random.default_rng(42)
+    n, classes = 400, 8
+    boxes, obj, probs = _random_scene(rng, n=n, classes=classes)
+    boxes[:, 2:] = rng.uniform(0.02, 0.08, (n, 2))      # small, low-overlap
+    # peaked class distributions so obj*p clears the threshold often
+    probs = np.full((n, classes), 0.1 / (classes - 1), np.float32)
+    probs[np.arange(n), rng.integers(0, classes, n)] = 0.9
+    # exactly half the candidates above threshold: fits K=256, busts K=64
+    obj = np.where(np.arange(n) % 2 == 0,
+                   rng.uniform(0.5, 1.0, n),
+                   rng.uniform(0.0, 0.25, n)).astype(np.float32)
+    thresh, nt = 0.3, 0.45
+
+    dets = []
+    for i in range(n):
+        p = (obj[i] * probs[i]).astype(np.float32)
+        p = np.where(p > thresh, p, 0.0).astype(np.float32)
+        dets.append(Detection(bbox=tuple(boxes[i]), objectness=obj[i],
+                              prob=p.copy(), classes=classes))
+    ref = do_nms_sort(dets, classes, nt)
+    ref_set = {}
+    for d in ref:
+        j, p = d.best_class()
+        if p > thresh:
+            ref_set[tuple(np.round(d.bbox, 5))] = (j, round(float(p), 5))
+    assert len(ref_set) > 64, "fixture must be dense enough to bust K=64"
+
+    sb, ss, sc, sv, sat = dnms.topk_decode_nms(
+        jnp.asarray(boxes)[None], jnp.asarray(obj)[None],
+        jnp.asarray(probs)[None], thresh, nt, topk=256)
+    assert not bool(sat[0]), "K=256 must not saturate on 400 candidates"
+    got = {}
+    for i in range(sb.shape[1]):
+        if bool(sv[0, i]) and float(ss[0, i]) > thresh:
+            got[tuple(np.round(np.asarray(sb[0, i]), 5))] = (
+                int(sc[0, i]), round(float(ss[0, i]), 5))
+    assert got == ref_set
+
+    # the old K=64 default silently truncated; now it must raise the flag
+    *_, sat64 = dnms.topk_decode_nms(
+        jnp.asarray(boxes)[None], jnp.asarray(obj)[None],
+        jnp.asarray(probs)[None], thresh, nt, topk=64)
+    assert bool(sat64[0])

@@ -1,0 +1,78 @@
+"""Exact-int16 decomposed Pallas kernels vs the XLA int32-accum oracle.
+
+The contract is int32-wraparound accumulation (what XLA's s16 conv with
+preferred_element_type=int32 computes and what the numpy golden reproduces
+for in-range sums); the decomposition computes the same value mod 2^32 by
+multi-word arithmetic. Kernels run in interpret mode on CPU.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from yolotpu.ops import convops
+from yolotpu.ops import pallas_q16 as q16
+
+
+def _mm_oracle(x, w, bias, shift, leaky):
+    """int32-wraparound matmul + requant, via the conv_int16 path (1x1)."""
+    xi = jnp.asarray(x[:, None, None, :])                 # (M,1,1,K)
+    wi = jnp.asarray(w[None, None])                       # (1,1,K,N)
+    out = convops.conv_int16(xi, wi, jnp.asarray(bias), 1, 0,
+                             "leaky" if leaky else "linear", shift)
+    return np.asarray(out)[:, 0, 0, :]
+
+
+@pytest.mark.parametrize("shape,shift,leaky", [
+    ((96, 48, 40), 7, True),        # N padded to 64, K kept
+    ((128, 27, 32), 5, False),      # L0-like: K padded to 32, N to 64
+    ((512, 128, 64), 9, True),      # L5-like 1x1
+    ((96, 260, 130), 11, True),     # ragged K and N
+])
+def test_matmul_q16_exact(shape, shift, leaky):
+    M, K, N = shape
+    rng = np.random.default_rng(1)
+    x = rng.integers(-32768, 32768, (M, K)).astype(np.int16)
+    w = rng.integers(-32768, 32768, (K, N)).astype(np.int16)
+    bias = rng.integers(-30000, 30000, N).astype(np.int32)
+    wp = q16.prep_matmul_weights(w, bias)
+    got = np.asarray(q16.matmul_q16_requant(
+        jnp.asarray(x), wp, shift, leaky, interpret=True))
+    want = _mm_oracle(x, w, bias, shift, leaky)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape,shift,leaky", [
+    ((2, 12, 11, 32, 40), 9, True),     # C padded 32->128
+    ((1, 13, 13, 130, 24), 6, False),   # ragged C
+    ((2, 8, 9, 128, 64), 12, True),     # aligned C
+])
+def test_conv3x3_q16_exact(shape, shift, leaky):
+    B, H, W, C, N = shape
+    rng = np.random.default_rng(2)
+    x = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    w = rng.integers(-32768, 32768, (3, 3, C, N)).astype(np.int16)
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    wp = q16.prep_conv_weights(w, bias)
+    got = np.asarray(q16.conv3x3_q16_requant(
+        jnp.asarray(x), wp, shift, leaky, interpret=True))
+    want = np.asarray(convops.conv_int16(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias), 1, 1,
+        "leaky" if leaky else "linear", shift))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_encoded_zero_padding_is_zero():
+    """K/N/C padding uses (hi=0, lo=-128) encoded zeros: padded positions
+    must contribute exactly nothing."""
+    rng = np.random.default_rng(3)
+    M, K, N = 64, 20, 16
+    x = rng.integers(-32768, 32768, (M, K)).astype(np.int16)
+    w = rng.integers(-32768, 32768, (K, N)).astype(np.int16)
+    bias = np.zeros(N, np.int32)
+    wp = q16.prep_matmul_weights(w, bias)
+    assert wp["Kp"] > K or wp["Np"] > N
+    got = np.asarray(q16.matmul_q16_requant(
+        jnp.asarray(x), wp, 0, False, interpret=True))
+    want = _mm_oracle(x, w, bias, 0, False)
+    np.testing.assert_array_equal(got, want)

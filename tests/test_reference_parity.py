@@ -146,3 +146,57 @@ def test_fp32_region_dump_close(oracle, artifacts):
     mine = np.loadtxt(wd / "my_raw32.txt")
     assert np.corrcoef(ref, mine)[0, 1] > 0.999995
     assert np.abs(ref - mine).max() < 0.05
+
+
+def test_per_layer_dumps_bit_exact(oracle, artifacts):
+    """VERDICT #6: every conv/pool/reorg layer's int16 output equals the
+    reference arena dump bit-for-bit (ref_detect_int16_dbg with
+    DBG_LAYER_DUMP_DIR; rows in the arena are 256-bit aligned, so each row
+    is compared up to out_w)."""
+    from yolotpu.image import letterbox_image, load_image
+    from yolotpu.runtime.engine import Engine
+    from yolotpu.weights import WeightStore
+    from yolotpu.graph import ReorgSpec, RouteSpec, RegionSpec
+
+    wd, spec, store, im = artifacts
+    dump_dir = wd / "ref_layers"
+    dump_dir.mkdir(exist_ok=True)
+    env = dict(os.environ)
+    env["DBG_LAYER_DUMP_DIR"] = str(dump_dir)
+    env["YOLO2_NO_DUMP"] = "1"
+    subprocess.run(
+        [f"{oracle}/ref_detect_int16_dbg",
+         "--cfg", reference_path("config", "yolov2.cfg"),
+         "--names", reference_path("config", "coco.names"),
+         "--input", reference_path("examples", "test_images", "test1.png"),
+         "--precision", "int16", "--output", "results/dbg"],
+        cwd=wd, check=True, capture_output=True, env=env)
+
+    st = WeightStore.load_int16(
+        spec, str(wd / "weights" / "weights_reorg_int16.bin"),
+        str(wd / "weights" / "bias_int16.bin"), str(wd / "weights"),
+        reorg=True)
+    eng = Engine(spec, st, precision="int16", backend="golden",
+                 compute="exact")
+    boxed = letterbox_image(im, spec.net.width, spec.net.height)
+    acts = eng.predict_layers(boxed)
+
+    checked = 0
+    for l in spec.layers:
+        if isinstance(l, (RouteSpec, RegionSpec)):
+            continue   # the reference hook skips ROUTE/REGION
+        p = dump_dir / f"layer{l.idx:02d}.bin"
+        assert p.exists(), f"reference did not dump layer {l.idx}"
+        ref = np.fromfile(p, np.int16)
+        if isinstance(l, ReorgSpec):
+            # hook hard-codes the reorg workspace extent 13*16*256
+            ref = ref.reshape(256, 13, 16)[:, :, :13]
+        else:
+            owa = ((l.out_w + 7) // 8) * 8
+            ref = ref.reshape(l.out_c, l.out_h, owa)[:, :, :l.out_w]
+        mine = acts[l.idx]
+        assert mine.dtype == np.int16, l.idx
+        np.testing.assert_array_equal(
+            mine, ref, err_msg=f"layer {l.idx} ({l.type}) diverges")
+        checked += 1
+    assert checked >= 29   # 23 convs + 5 pools + 1 reorg

@@ -40,9 +40,9 @@ def main():
     FLOOR = floor_ms()
     LOG(json.dumps({"probe": "floor", "ms": FLOOR}))
     rng = np.random.default_rng(0)
-    B = int(os.environ.get("MICRO_BATCH", "32"))
+    B = int(os.environ.get("MICRO_BATCH", "16"))
 
-    def timed(fn, x, n=6, useful_ops=None, name="?"):
+    def timed(fn, x, n=4, useful_ops=None, name="?"):
         try:
             one = jnp.ones((), x.dtype)
             xs = [x.at[(0,) * x.ndim].add(one * i) for i in range(n)]
@@ -85,6 +85,8 @@ def main():
         (27, 1024, 2048, 52, 256, 512, "s2d_L12"),
     ]
     for (hp, c4, n4, rawh, c, n, name) in cases:
+        import gc
+        gc.collect()
         x = jnp.asarray(rng.integers(-32000, 32000, (B, hp, hp, c4)),
                         jnp.int16)
         k = jnp.asarray(rng.integers(-32000, 32000, (2, 2, c4, n4)),

@@ -36,6 +36,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--thresh", type=float, default=0.25)
     ap.add_argument("--nms", type=float, default=0.45)
     ap.add_argument("--hier", type=float, default=0.5)
+    ap.add_argument("--topk", type=int, default=256,
+                    help="device-NMS candidate cap (with --device-nms)")
+    ap.add_argument("--dump-layers", default=None, metavar="DIR",
+                    help="write every layer's output as DIR/layerNN.bin "
+                         "(raw CHW; env YOLO2_DUMP_LAYERS also works) — "
+                         "the cosim per-layer dump analog")
     ap.add_argument("--backend", default="xla",
                     choices=["xla", "hls", "cpu", "golden"],
                     help="'hls' aliases to xla; 'cpu' to golden")
@@ -93,12 +99,18 @@ def main(argv: list[str] | None = None) -> int:
                                seed=args.seed)
     t0 = time.time()
     eng = Engine(spec, store, precision=args.precision, backend=backend,
-                 compute=compute)
+                 compute=compute, topk=args.topk)
     ylog.info(f"engine ready in {time.time() - t0:.1f}s "
               f"({backend}/{args.precision})")
 
     dets, res = eng.detect(im, thresh=args.thresh, nms=args.nms)
     print(f"{os.path.basename(input_path)}: predicted in {res.seconds:.6f} seconds.")
+
+    dump_dir = args.dump_layers or os.environ.get("YOLO2_DUMP_LAYERS")
+    if dump_dir:
+        from ..image import letterbox_image
+        boxed = letterbox_image(im, spec.net.width, spec.net.height)
+        eng.dump_layers(boxed, dump_dir)
 
     if args.names:
         names = [l.rstrip("\n") for l in open(args.names)]

@@ -44,6 +44,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="batched double-buffered device feed (>1)")
     ap.add_argument("--device-nms", action="store_true",
                     help="decode + class-wise NMS on device (top-K readback)")
+    ap.add_argument("--topk", type=int, default=256,
+                    help="device-NMS candidate cap (host path considers all "
+                         "h*w*n; a saturation warning flags truncation)")
     ap.add_argument("--cam-width", type=int, default=640)
     ap.add_argument("--cam-height", type=int, default=480)
     ap.add_argument("--cam-fps", type=int, default=30)
@@ -85,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     eng = Engine(spec, store, precision=args.precision, backend=args.backend,
                  compute=args.compute, warmup_batch=max(1, args.batch_size),
-                 device_nms=args.device_nms, thresh=args.thresh, nms=args.nms)
+                 device_nms=args.device_nms, thresh=args.thresh,
+                 nms=args.nms, topk=args.topk)
     ylog.info(f"engine ready in {time.time() - t0:.1f}s")
 
     if args.labels:

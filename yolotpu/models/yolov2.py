@@ -157,7 +157,7 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                   qtables: QTables | None = None, compute: str = "int32",
                   outputs: tuple[str, ...] = ("head", "boxes"),
                   debug: bool = False, thresh: float = 0.25,
-                  nms_thresh: float = 0.45, topk: int = 64):
+                  nms_thresh: float = 0.45, topk: int = 256):
     """Return ``forward(params, x)`` for the given graph.
 
     x: (B, H, W, 3) float32 NHWC, already letterboxed to the net dims.
@@ -244,10 +244,11 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                 out["boxes"], out["obj"], out["probs"] = boxes, obj, probs
             if "detections" in outputs:
                 from ..ops import nms as nms_ops
-                sb, ss, sc, sv = nms_ops.topk_decode_nms(
+                sb, ss, sc, sv, sat = nms_ops.topk_decode_nms(
                     boxes, obj, probs, thresh, nms_thresh, topk)
                 out["det_boxes"], out["det_scores"] = sb, ss
                 out["det_classes"], out["det_valid"] = sc, sv
+                out["det_saturated"] = sat
         if debug:
             out["acts"] = all_acts
         return out

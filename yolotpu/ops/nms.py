@@ -58,14 +58,19 @@ def greedy_nms_mask(ious: jnp.ndarray, scores: jnp.ndarray,
 
 
 def topk_decode_nms(boxes: jnp.ndarray, obj: jnp.ndarray, probs: jnp.ndarray,
-                    thresh: float, nms_thresh: float, topk: int = 64):
+                    thresh: float, nms_thresh: float, topk: int = 256):
     """Batched on-device selection: darknet threshold rule + class-wise NMS.
 
     boxes (B,N,4), obj (B,N), probs (B,N,C) — from ops.region.decode_region.
     Returns (sel_boxes (B,K,4), sel_scores (B,K), sel_classes (B,K),
-    sel_valid (B,K)). Scores follow darknet: prob = obj * p, zeroed unless
-    > thresh (yolo_region.cpp:187-191), then class-wise NMS over the top-K
-    objectness candidates.
+    sel_valid (B,K), saturated (B,)). Scores follow darknet: prob = obj * p,
+    zeroed unless > thresh (yolo_region.cpp:187-191), then class-wise NMS
+    over the top-K objectness candidates.
+
+    The host path considers all h*w*n candidates (845 for yolov2-416);
+    ``saturated[b]`` is True when frame b had MORE than K above-threshold
+    candidates, i.e. the device result may differ from the host path —
+    callers can detect truncation instead of silently diverging.
     """
 
     def per_image(boxes, obj, probs):
@@ -74,6 +79,7 @@ def topk_decode_nms(boxes: jnp.ndarray, obj: jnp.ndarray, probs: jnp.ndarray,
         # candidate set: top-K by objectness (darknet allocates all N,
         # but boxes with obj<=thresh never produce output)
         obj_gated = jnp.where(obj > thresh, obj, 0.0)
+        saturated = jnp.sum((obj_gated > 0).astype(jnp.int32)) > k
         top_obj, idx = jax.lax.top_k(obj_gated, k)
         cboxes = boxes[idx]
         cprob = probs[idx] * top_obj[:, None]
@@ -95,6 +101,7 @@ def topk_decode_nms(boxes: jnp.ndarray, obj: jnp.ndarray, probs: jnp.ndarray,
         valid = best_p > thresh
         # order output by score desc
         o = jnp.argsort(-best_p)
-        return cboxes[o], best_p[o], best_c[o].astype(jnp.int32), valid[o]
+        return (cboxes[o], best_p[o], best_c[o].astype(jnp.int32), valid[o],
+                saturated)
 
     return jax.vmap(per_image)(boxes, obj, probs)

@@ -15,6 +15,7 @@ Backends:
 
 from __future__ import annotations
 
+import concurrent.futures
 import os
 import time
 from dataclasses import dataclass
@@ -40,7 +41,7 @@ class Engine:
     def __init__(self, spec: NetworkSpec, store: WeightStore,
                  precision: str = "fp32", backend: str = "xla",
                  compute: str = "int32", device_nms: bool = False,
-                 thresh: float = 0.25, nms: float = 0.45, topk: int = 64,
+                 thresh: float = 0.25, nms: float = 0.45, topk: int = 256,
                  warmup: bool = True, warmup_batch: int = 1):
         self.spec = spec
         self.store = store
@@ -96,6 +97,36 @@ class Engine:
             raise ValueError(f"backend {backend!r} (use 'xla' or 'golden')")
 
     # ------------------------------------------------------------------
+    def _guarded(self, fn, *args, tag: str = "main"):
+        """Per-inference watchdog, the board app's wait_for_idle analog
+        (yolo2_accel_linux.c:266-381, default yolo2_config.h:141): every
+        device invocation — not just the streaming loop — is bounded by
+        YOLO2_LAYER_TIMEOUT_MS. A shape seen for the first time gets a
+        raised deadline (>=900 s) because it may trigger a compile, like
+        the streaming runner's first-batch allowance."""
+        try:
+            ms = float(os.environ.get("YOLO2_LAYER_TIMEOUT_MS", "60000"))
+        except ValueError:
+            ms = 60000.0
+        if ms <= 0:
+            return fn(*args)
+        key = (tag,) + tuple(getattr(a, "shape", None) for a in args)
+        if not hasattr(self, "_seen_shapes"):
+            self._seen_shapes = set()
+            self._guard_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1)
+        if key not in self._seen_shapes:
+            ms = max(ms, 900_000.0)
+        fut = self._guard_pool.submit(fn, *args)
+        try:
+            out = fut.result(timeout=ms / 1000.0)
+        except concurrent.futures.TimeoutError:
+            raise TimeoutError(
+                f"inference exceeded YOLO2_LAYER_TIMEOUT_MS={ms:.0f} ms "
+                "(watchdog)")
+        self._seen_shapes.add(key)
+        return out
+
     def predict(self, boxed_chw: np.ndarray) -> PredictResult:
         """Run one letterboxed (3, H, W) float image; returns the raw region
         head in CHW (dump/parity layout)."""
@@ -103,7 +134,8 @@ class Engine:
         if self.backend == "xla":
             import jax.numpy as jnp
             x = jnp.asarray(boxed_chw.transpose(1, 2, 0)[None])
-            head = np.asarray(self._fn(x)["head"])[0].transpose(2, 0, 1)
+            head = self._guarded(
+                lambda v: np.asarray(self._fn(v)["head"]), x)[0].transpose(2, 0, 1)
         else:
             if self.precision == "int16":
                 mode = "exact" if self.compute == "exact" else "int32"
@@ -120,6 +152,54 @@ class Engine:
                              seconds=time.time() - t0)
 
     # ------------------------------------------------------------------
+    def predict_layers(self, boxed_chw: np.ndarray) -> dict[int, np.ndarray]:
+        """Debug forward returning EVERY layer's output in CHW (the
+        user-facing analog of the reference cosim's per-layer dumps,
+        vitis/yolo2_cosim_tb.cpp:970-979). golden backend: keep_all acts;
+        xla backend: a separately-jitted debug build (outputs=('acts',)),
+        compiled on first use."""
+        if self.backend == "golden":
+            if self.precision == "int16":
+                mode = "exact" if self.compute == "exact" else "int32"
+                acts = self._golden.forward_int16(
+                    boxed_chw, self.store.int16, self.store.qtables,
+                    keep_all=True, mode=mode)
+            elif self.precision == "int8":
+                acts = self._golden.forward_int16(
+                    boxed_chw, self.store.int8, self.store.qtables8,
+                    keep_all=True, mode="int8")
+            else:
+                acts = self._golden.forward_fp32(boxed_chw, self.store.fp32,
+                                                 keep_all=True)
+            return {i: np.asarray(a) for i, a in acts.items()}
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+        if not hasattr(self, "_dbg_fn"):
+            from ..models import yolov2 as m
+            qt = (self.store.qtables if self.precision == "int16"
+                  else self.store.qtables8 if self.precision == "int8"
+                  else None)
+            fwd = m.build_forward(self.spec, self.precision, qt,
+                                  self.compute, outputs=("acts",))
+            self._dbg_fn = jax.jit(partial(fwd, self._params))
+        x = jnp.asarray(boxed_chw.transpose(1, 2, 0)[None])
+        out = self._guarded(
+            lambda v: {k: np.asarray(a) for k, a in
+                       self._dbg_fn(v)["acts"].items()}, x, tag="debug")
+        return {int(k[5:]): a[0].transpose(2, 0, 1) for k, a in out.items()}
+
+    def dump_layers(self, boxed_chw: np.ndarray, dirpath: str) -> None:
+        """Write layerNN.bin per layer (raw CHW, exact c*h*w elements,
+        native dtype — int16/int8/f32 by tier; no arena row alignment)."""
+        os.makedirs(dirpath, exist_ok=True)
+        acts = self.predict_layers(boxed_chw)
+        for idx, a in sorted(acts.items()):
+            np.ascontiguousarray(a).tofile(
+                os.path.join(dirpath, f"layer{idx:02d}.bin"))
+        ylog.info(f"dumped {len(acts)} layer tensors to {dirpath}")
+
+    # ------------------------------------------------------------------
     def predict_batch(self, boxed_nchw: np.ndarray) -> np.ndarray:
         """Batched device inference: (N, 3, H, W) letterboxed frames ->
         (N, oc, h, w) raw heads. XLA path only (the batched streaming feed)."""
@@ -127,7 +207,8 @@ class Engine:
             return np.stack([self.predict(b).head_chw for b in boxed_nchw])
         import jax.numpy as jnp
         x = jnp.asarray(boxed_nchw.transpose(0, 2, 3, 1))
-        return np.asarray(self._fn(x)["head"]).transpose(0, 3, 1, 2)
+        return self._guarded(
+            lambda v: np.asarray(self._fn(v)["head"]), x).transpose(0, 3, 1, 2)
 
     def predict_batch_rgb(self, frames_nhwc_u8: np.ndarray) -> np.ndarray:
         """Batched inference on net-sized uint8 RGB frames: the /255
@@ -138,7 +219,8 @@ class Engine:
             return self.predict_batch(boxed)
         import jax.numpy as jnp
         x = jnp.asarray(np.ascontiguousarray(frames_nhwc_u8))
-        return np.asarray(self._fn(x)["head"]).transpose(0, 3, 1, 2)
+        return self._guarded(
+            lambda v: np.asarray(self._fn(v)["head"]), x).transpose(0, 3, 1, 2)
 
     def predict_batch_raw_frames(self, frames_nhwc_u8: np.ndarray):
         """Batched inference on RAW (non-net-sized) uint8 frames: the
@@ -161,11 +243,14 @@ class Engine:
                 return self._fwd(self._params, boxed)
             fn = jax.jit(full)
             self._lbox_fns[key] = fn
-        out = fn(jnp.asarray(np.ascontiguousarray(frames_nhwc_u8)))
+        out = self._guarded(
+            lambda v: {k: np.asarray(o) for k, o in fn(v).items()},
+            jnp.asarray(np.ascontiguousarray(frames_nhwc_u8)))
         if self.device_nms:
-            return (np.asarray(out["det_boxes"]), np.asarray(out["det_scores"]),
-                    np.asarray(out["det_classes"]), np.asarray(out["det_valid"]))
-        return np.asarray(out["head"]).transpose(0, 3, 1, 2)
+            self._warn_saturated(out)
+            return (out["det_boxes"], out["det_scores"],
+                    out["det_classes"], out["det_valid"])
+        return out["head"].transpose(0, 3, 1, 2)
 
     def predict_batch_detections(self, frames) -> tuple:
         """Batched device decode+NMS (engine built with device_nms=True):
@@ -178,9 +263,21 @@ class Engine:
             x = jnp.asarray(np.ascontiguousarray(frames))
         else:
             x = jnp.asarray(frames.transpose(0, 2, 3, 1))
-        out = self._fn(x)
-        return (np.asarray(out["det_boxes"]), np.asarray(out["det_scores"]),
-                np.asarray(out["det_classes"]), np.asarray(out["det_valid"]))
+        out = self._guarded(
+            lambda v: {k: np.asarray(o) for k, o in self._fn(v).items()}, x)
+        self._warn_saturated(out)
+        return (out["det_boxes"], out["det_scores"],
+                out["det_classes"], out["det_valid"])
+
+    def _warn_saturated(self, out: dict) -> None:
+        """Device NMS truncation telemetry: more above-threshold candidates
+        than top-K means the host path (which considers all h*w*n boxes,
+        yolo_post.cpp:54-85) could return different detections."""
+        sat = out.get("det_saturated")
+        if sat is not None and np.any(sat):
+            ylog.info(f"device NMS top-K saturated on "
+                      f"{int(np.sum(sat))} frame(s); results may be "
+                      "truncated (raise --topk)")
 
     def detections_from_topk(self, sb, ss, sc, sv, im_w: int,
                              im_h: int) -> list[Detection]:
@@ -215,11 +312,12 @@ class Engine:
         net_w, net_h = self.spec.net.width, self.spec.net.height
         boxed = letterbox_image(image_chw, net_w, net_h)
         t0 = time.time()
-        out = self._fn(jnp.asarray(boxed.transpose(1, 2, 0)[None]))
-        sb = np.asarray(out["det_boxes"])[0]
-        ss = np.asarray(out["det_scores"])[0]
-        sc = np.asarray(out["det_classes"])[0]
-        sv = np.asarray(out["det_valid"])[0]
+        out = self._guarded(
+            lambda v: {k: np.asarray(o) for k, o in self._fn(v).items()},
+            jnp.asarray(boxed.transpose(1, 2, 0)[None]))
+        self._warn_saturated(out)
+        sb, ss = out["det_boxes"][0], out["det_scores"][0]
+        sc, sv = out["det_classes"][0], out["det_valid"][0]
         seconds = time.time() - t0
         dets = self.detections_from_topk(sb, ss, sc, sv,
                                          image_chw.shape[2],
