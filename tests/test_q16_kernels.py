@@ -76,3 +76,32 @@ def test_encoded_zero_padding_is_zero():
         jnp.asarray(x), wp, 0, False, interpret=True))
     want = _mm_oracle(x, w, bias, 0, False)
     np.testing.assert_array_equal(got, want)
+
+
+def test_full_net_pallas_bitexact_vs_golden():
+    """The whole yolov2 graph under compute='pallas' (interpret mode on
+    CPU) must equal the golden int32-mode forward bit-for-bit — the same
+    contract the default int16 tier carries."""
+    from yolotpu.golden import GoldenNet
+    from yolotpu.models import yolov2, zoo
+    from yolotpu.quant import calibrate_activations, quantize_weights
+    from yolotpu.weights import WeightStore
+
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    rng = np.random.default_rng(100)
+    img = rng.random((3, 64, 64)).astype(np.float32)
+    act_q = calibrate_activations(spec, store, [img])
+    quantize_weights(store, act_q)
+
+    g = GoldenNet(spec).forward_int16(img, store.int16, store.qtables,
+                                      mode="int32")
+    fwd = yolov2.build_forward(spec, "int16", store.qtables,
+                               compute="pallas", outputs=("head",))
+    params = yolov2.params_q16(spec, store)
+    head = np.asarray(fwd(params, jnp.asarray(
+        img.transpose(1, 2, 0)[None]))["head"])[0]
+    np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
+    # coverage sanity: the graph must exercise all three kernel kinds
+    kinds = {params[f"conv{l.idx}"]["kind"] for l in spec.conv_layers()}
+    assert {"mm", "conv3", "mm_patches"} <= kinds, kinds

@@ -81,8 +81,40 @@ def _metrics_run(args) -> dict:
         timer.add((time.perf_counter() - t0) * 1e3)
     summary = timer.summary(frames_per_step=args.batch)
 
+    b1 = {}
+    if args.batch1_p50:
+        # Measured single-frame device latency: chain-dispatch N batch-1
+        # steps on distinct inputs with ONE sync readback, subtract the RPC
+        # floor, divide. Substantiates the p50 row with device time rather
+        # than tunnel round-trips (the board logs wall time per inference,
+        # yolo2_inference.c:75-142; on a thin dev link wall time measures
+        # the link).
+        fl = jax.jit(lambda v: v + 1.0)
+        _ = float(fl(jnp.float32(0)))
+        fls = []
+        for _i in range(5):
+            t0 = time.perf_counter()
+            _ = float(fl(jnp.float32(0)))
+            fls.append(time.perf_counter() - t0)
+        floor_ms = float(np.median(fls)) * 1e3
+        x1 = x[:1]
+        n = max(8, int(args.batch1_chain))
+        xs = [x1 + jnp.float32(i) * jnp.float32(1e-6) for i in range(n)]
+        outs = [fn(v) for v in xs]
+        _ = float(jnp.sum(jnp.stack([jnp.sum(o["obj"]) for o in outs])))
+        reps = []
+        for _i in range(5):
+            t0 = time.perf_counter()
+            outs = [fn(v)["obj"] for v in xs]
+            _ = float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))
+            reps.append(time.perf_counter() - t0)
+        dev_ms = max(0.0, (float(np.median(reps)) * 1e3 - floor_ms) / n)
+        b1 = {"batch1_device_p50_ms": round(dev_ms, 3),
+              "batch1_chain": n, "rpc_floor_ms": round(floor_ms, 2)}
+
     dev = jax.devices()[0]
     return {
+        **b1,
         "model": args.model,
         "precision": args.precision,
         "compute": args.compute,
@@ -114,6 +146,13 @@ def _render_summary(meta: dict, metrics: dict) -> str:
         f"- mean: {lat.get('mean_ms', 0):.2f} ms   median: "
         f"{lat.get('median_ms', 0):.2f} ms   p90: {lat.get('p90_ms', 0):.2f} ms",
         f"- throughput: {lat.get('fps', 0):.1f} frames/sec",
+    ]
+    if metrics.get("batch1_device_p50_ms") is not None:
+        lines.append(
+            f"- single-frame device p50: {metrics['batch1_device_p50_ms']}"
+            f" ms (chain of {metrics.get('batch1_chain')}, RPC floor"
+            f" {metrics.get('rpc_floor_ms')} ms subtracted)")
+    lines += [
         "",
         "## Memory (XLA)",
     ]
@@ -235,6 +274,12 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--height", type=int, default=None)
     runp.add_argument("--weights-dir", default="weights")
     runp.add_argument("--synthetic-weights", action="store_true")
+    runp.add_argument("--batch1-p50", action="store_true", default=True,
+                      help="measure single-frame DEVICE latency via a "
+                           "chain-dispatch (default on)")
+    runp.add_argument("--no-batch1-p50", dest="batch1_p50",
+                      action="store_false")
+    runp.add_argument("--batch1-chain", type=int, default=32)
     sub.add_parser("list")
     cmp_ = sub.add_parser("compare")
     cmp_.add_argument("a")

@@ -81,6 +81,96 @@ def _round_shift_np(v: np.ndarray, shift: int) -> np.ndarray:
     return v
 
 
+def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
+    """Exact-int16 Pallas parameter format (compute='pallas').
+
+    Each conv gets a kernel-ready weight pack:
+      - 1x1/s1           -> fused matmul ("mm")
+      - 3x3/s1, C >= 8   -> halo-band conv kernel ("conv3")
+      - 3x3/s1, C < 8    -> im2col patches + matmul ("mm_patches"; padding
+                            C to the 128-lane minimum would waste 43x MACs
+                            on an RGB input, while patches waste only 32/27)
+      - anything else    -> XLA int32-accum fallback ("xla")
+    All variants compute the identical int32-wraparound accumulation, so
+    the tier stays bit-exact vs the golden int32 mode.
+
+    Activations flow CHANNEL-PADDED (>=128 lanes; pad channels are encoded
+    zeros contributing exactly 0): kernels emit padded outputs and consume
+    padded inputs; reorg/route/region and XLA fallbacks get the exact-width
+    slice. Weight packs are built against the producer's padded width.
+    """
+    from ..graph import LayerSpec  # noqa: F401
+    from ..ops import pallas_q16 as q16
+    if store.qtables is None:
+        raise ValueError("int16 params require Q tables")
+    qt = store.qtables
+    plan = Int16Plan.build(spec, qt)
+    p = {}
+
+    # walk the graph tracking each layer's (real, padded) channel width
+    def padded_out(n):
+        return max(q16._round_up(n, 64), q16.LANE)
+
+    width: dict[int, tuple[int, int]] = {}   # idx -> (real, padded)
+    prev = (spec.net.channels, spec.net.channels)
+    for l in spec.layers:
+        if isinstance(l, ConvSpec):
+            in_real, in_pad = prev
+            w, b = store.int16[l.idx]
+            ci = [c.idx for c in spec.conv_layers()].index(l.idx)
+            shift_bias = qt.bias_q[ci] - plan.conv_qa_out[l.idx]
+            bias_shifted = _round_shift_np(
+                b.astype(np.int64), shift_bias).astype(np.int32)
+            whwio = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+            simple_act = l.activation in ("leaky", "linear")
+            darknet_pad = l.pad == l.size // 2
+            if (l.size == 1 and l.stride == 1 and simple_act
+                    and l.groups == 1 and darknet_pad):
+                wp = q16.prep_matmul_weights(
+                    whwio.reshape(l.c, l.n), bias_shifted, kp=in_pad)
+                p[f"conv{l.idx}"] = {"kind": "mm", "wp": wp}
+                prev = (l.n, wp["Np"])
+            elif (l.size == 3 and l.stride == 1 and simple_act
+                  and l.groups == 1 and darknet_pad and l.c >= 8):
+                wp = q16.prep_conv_weights(whwio, bias_shifted, cp=in_pad)
+                p[f"conv{l.idx}"] = {"kind": "conv3", "wp": wp}
+                prev = (l.n, wp["Np"])
+            elif (l.size == 3 and l.stride == 1 and simple_act
+                  and l.groups == 1 and darknet_pad):
+                wp = q16.prep_matmul_weights(
+                    whwio.reshape(9 * l.c, l.n), bias_shifted)
+                p[f"conv{l.idx}"] = {"kind": "mm_patches", "wp": wp}
+                prev = (l.n, wp["Np"])
+            else:
+                # XLA fallback consumes/produces exact widths
+                p[f"conv{l.idx}"] = {"kind": "xla",
+                                     "w": jnp.asarray(whwio),
+                                     "b": jnp.asarray(bias_shifted)}
+                prev = (l.n, l.n)
+            _ = padded_out
+        elif isinstance(l, (MaxPoolSpec,)):
+            pass                               # padded passthrough
+        elif isinstance(l, ReorgSpec):
+            prev = (prev[0] * l.stride ** 2,) * 2   # sliced exact by forward
+        elif isinstance(l, RouteSpec):
+            real = sum(width[s][0] for s in l.layers)
+            prev = (real, real)                # forward slices inputs exact
+        elif isinstance(l, RegionSpec):
+            pass
+        width[l.idx] = prev
+    return p
+
+
+def _patches3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """SAME-pad 3x3 im2col along channels: (B,H,W,C) -> (B,H,W,9C),
+    tap-major (matches prep_matmul_weights' (9C, N) row order)."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [xp[:, dy:dy + h, dx:dx + w, :]
+            for dy in range(3) for dx in range(3)]
+    return jnp.concatenate(taps, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Static INT16 scale plan (graph-derived Q routing)
 # ---------------------------------------------------------------------------
@@ -157,7 +247,8 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                   qtables: QTables | None = None, compute: str = "int32",
                   outputs: tuple[str, ...] = ("head", "boxes"),
                   debug: bool = False, thresh: float = 0.25,
-                  nms_thresh: float = 0.45, topk: int = 256):
+                  nms_thresh: float = 0.45, topk: int = 256,
+                  mesh=None):
     """Return ``forward(params, x)`` for the given graph.
 
     x: (B, H, W, 3) float32 NHWC, already letterboxed to the net dims.
@@ -180,8 +271,24 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
     elif precision != "fp32":
         raise ValueError(f"precision {precision!r}")
     is_int8 = precision == "int8"
+    first_conv_idx = next(
+        (l.idx for l in spec.layers if isinstance(l, ConvSpec)), -1)
 
     needed = {s for l in spec.layers if isinstance(l, RouteSpec) for s in l.layers}
+
+    def _batch_only(v):
+        """Constrain to batch(dp)-only sharding at shape-shuffling
+        boundaries. The reorg's flat channel<->space reinterpretation defeats
+        GSPMD propagation from tp(channel)-sharded producers — without the
+        constraint the partitioner falls back to 'involuntary full
+        rematerialization' (seen in MULTICHIP_r01). An explicit all-gather
+        here is the efficient form of the same data movement."""
+        if mesh is None:
+            return v
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec_ = PartitionSpec("dp", *([None] * (v.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            v, NamedSharding(mesh, spec_))
 
     def forward(params: dict, x: jnp.ndarray) -> dict:
         acts: dict[int, jnp.ndarray] = {}
@@ -196,6 +303,12 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
         else:
             cur = x.astype(jnp.float32)
         head = None
+        cur_real = spec.net.channels   # real channels of cur (pallas mode
+        # keeps activations channel-padded to >=128 lanes between kernels)
+
+        def exact(v):
+            return v if v.shape[-1] == cur_real else v[..., :cur_real]
+
         for l in spec.layers:
             if isinstance(l, ConvSpec):
                 pw = params[f"conv{l.idx}"]
@@ -207,34 +320,73 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                                             l.pad, l.activation,
                                             plan.conv_shift_out[l.idx],
                                             use_pallas=(compute == "pallas"))
+                elif compute == "pallas" and "kind" in pw:
+                    from ..ops import pallas_q16 as q16
+                    shift = plan.conv_shift_out[l.idx]
+                    leaky = l.activation == "leaky"
+                    kind = pw["kind"]
+                    if kind == "mm":
+                        b_, h_, w_, c_ = cur.shape
+                        o = q16.matmul_q16_requant(cur.reshape(-1, c_),
+                                                   pw["wp"], shift, leaky,
+                                                   out_np=True)
+                        cur = o.reshape(b_, h_, w_, -1)
+                    elif kind == "conv3":
+                        cur = q16.conv3x3_q16_requant(cur, pw["wp"], shift,
+                                                      leaky, out_np=True)
+                    elif kind == "mm_patches":
+                        if l.idx == first_conv_idx:
+                            # patches commute with elementwise quantization:
+                            # build them on the f32 input so the tiny-C
+                            # entry conv never touches int16 XLA slicing
+                            pf = _patches3x3(x)
+                            pq = convops.quantize_input_int16(pf, plan.input_q)
+                        else:
+                            pq = _patches3x3(exact(cur))
+                        b_, h_, w_, k_ = pq.shape
+                        o = q16.matmul_q16_requant(pq.reshape(-1, k_),
+                                                   pw["wp"], shift, leaky,
+                                                   out_np=True)
+                        cur = o.reshape(b_, h_, w_, -1)
+                    else:
+                        cur = convops.conv_int16(
+                            exact(cur), pw["w"], pw["b"], l.stride, l.pad,
+                            l.activation, shift, compute="int32")
                 else:
                     cur = convops.conv_int16(cur, pw["w"], pw["b"], l.stride,
                                              l.pad, l.activation,
                                              plan.conv_shift_out[l.idx],
                                              compute=compute)
+                cur_real = l.n
             elif isinstance(l, MaxPoolSpec):
                 cur = pool.maxpool(cur, l.size, l.stride, l.padding)
             elif isinstance(l, ReorgSpec):
-                cur = reorg.reorg(cur, l.stride)
+                cur = reorg.reorg(_batch_only(exact(cur)), l.stride)
+                cur = _batch_only(cur)
+                cur_real = cur.shape[-1]
                 if plan is not None:
                     sh = plan.reorg_realign.get(l.idx, 0)
                     if sh != 0:
                         cur = convops.realign_int16(cur, sh)
             elif isinstance(l, RouteSpec):
                 cur = (acts[l.layers[0]] if len(l.layers) == 1 else
-                       jnp.concatenate([acts[s] for s in l.layers], axis=-1))
+                       _batch_only(jnp.concatenate(
+                           [acts[s] for s in l.layers], axis=-1)))
+                cur_real = cur.shape[-1]
             elif isinstance(l, RegionSpec):
-                head = (convops.dequantize_int16(cur, plan.output_q)
+                head = (convops.dequantize_int16(exact(cur), plan.output_q)
                         if plan is not None else cur)
                 cur = head
+                cur_real = cur.shape[-1]
             if l.idx in needed or debug:
-                acts[l.idx] = cur
+                acts[l.idx] = exact(cur)   # routes/dumps see exact widths
             if debug:
-                all_acts[f"layer{l.idx}"] = cur
+                all_acts[f"layer{l.idx}"] = acts.get(l.idx, exact(cur))
 
         out: dict = {}
         if head is None:   # headless graphs (e.g. backbone-only tests)
-            head = cur if plan is None else convops.dequantize_int16(cur, plan.output_q)
+            head = (exact(cur) if plan is None
+                    else convops.dequantize_int16(exact(cur), plan.output_q))
         if "head" in outputs:
             out["head"] = head
         if (("boxes" in outputs) or ("detections" in outputs)) \
@@ -262,7 +414,8 @@ def jit_forward(spec: NetworkSpec, store: WeightStore, precision: str = "fp32",
     """Convenience: build params + a jitted forward with params closed over
     as compile-time constants living in HBM."""
     if precision == "int16":
-        params = params_int16(spec, store)
+        params = (params_q16(spec, store) if compute == "pallas"
+                  else params_int16(spec, store))
         fwd = build_forward(spec, "int16", store.qtables, compute, outputs)
     elif precision == "int8":
         params = params_int8(spec, store)

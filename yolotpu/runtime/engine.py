@@ -63,7 +63,8 @@ class Engine:
             import jax
             from functools import partial
             if precision == "int16":
-                params = m.params_int16(spec, store)
+                params = (m.params_q16(spec, store) if compute == "pallas"
+                          else m.params_int16(spec, store))
                 fwd = m.build_forward(spec, "int16", store.qtables, compute,
                                       outputs, thresh=thresh,
                                       nms_thresh=nms, topk=topk)

@@ -138,9 +138,12 @@ def region_loss(head: jnp.ndarray, truth_boxes: jnp.ndarray,
 
 
 def make_train_step(spec: NetworkSpec, lr: float = 1e-3,
-                    momentum: float = 0.9, cfg: LossConfig = LossConfig()):
-    """SGD+momentum training step over fp32 params (functional, jittable)."""
-    fwd = m.build_forward(spec, "fp32", outputs=("head",))
+                    momentum: float = 0.9, cfg: LossConfig = LossConfig(),
+                    mesh=None):
+    """SGD+momentum training step over fp32 params (functional, jittable).
+    Pass ``mesh`` when running tp-sharded so the forward pins its
+    reorg/route boundaries (avoids GSPMD involuntary rematerialization)."""
+    fwd = m.build_forward(spec, "fp32", outputs=("head",), mesh=mesh)
     rspec = spec.region
 
     def loss_fn(params, batch):
