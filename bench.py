@@ -25,6 +25,10 @@ import numpy as np
 BASELINE_FPS = 0.1
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+# int16 conv engine: "pallas" = fused exact-int16 s8-decomposed kernels
+# (the fast path on real TPU); "int32" = XLA s16 convs (same bits)
+COMPUTE = os.environ.get("BENCH_COMPUTE", "pallas")
+MODEL = os.environ.get("BENCH_MODEL", "yolov2")
 
 
 def main() -> int:
@@ -39,19 +43,22 @@ def main() -> int:
     from yolotpu.quant import calibrate_activations, quantize_weights
     from yolotpu.weights import WeightStore
 
-    spec = zoo.build("yolov2")
+    spec = zoo.build(MODEL)
     store = WeightStore.synthetic(spec, seed=0)
     rng = np.random.default_rng(0)
-    calib = [rng.random((3, 416, 416), dtype=np.float32)]
+    calib = [rng.random((3, spec.net.height, spec.net.width),
+                        dtype=np.float32)]
     act_q = calibrate_activations(spec, store, calib)
     quantize_weights(store, act_q)
 
-    params = m.params_int16(spec, store)
-    fwd = m.build_forward(spec, "int16", store.qtables, compute="int32",
+    params = (m.params_q16(spec, store) if COMPUTE == "pallas"
+              else m.params_int16(spec, store))
+    fwd = m.build_forward(spec, "int16", store.qtables, compute=COMPUTE,
                           outputs=("head", "boxes"))
     fn = jax.jit(lambda x: fwd(params, x))
 
-    x = jnp.asarray(rng.random((BATCH, 416, 416, 3), dtype=np.float32))
+    x = jnp.asarray(rng.random(
+        (BATCH, spec.net.height, spec.net.width, 3), dtype=np.float32))
     out = fn(x)
     _ = float(jnp.sum(out["obj"]))            # warmup + compile
 
@@ -74,7 +81,7 @@ def main() -> int:
     fps = BATCH / med
 
     print(json.dumps({
-        "metric": "yolov2_416_int16_fps",
+        "metric": f"{MODEL}_{spec.net.width}_int16_fps",
         "value": round(fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 1),

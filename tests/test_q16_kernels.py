@@ -28,6 +28,7 @@ def _mm_oracle(x, w, bias, shift, leaky):
     ((128, 27, 32), 5, False),      # L0-like: K padded to 32, N to 64
     ((512, 128, 64), 9, True),      # L5-like 1x1
     ((96, 260, 130), 11, True),     # ragged K and N
+    ((64, 2310, 40), 8, True),      # K > 1024: lane-blocked K steps
 ])
 def test_matmul_q16_exact(shape, shift, leaky):
     M, K, N = shape
@@ -59,6 +60,81 @@ def test_conv3x3_q16_exact(shape, shift, leaky):
     want = np.asarray(convops.conv_int16(
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias), 1, 1,
         "leaky" if leaky else "linear", shift))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape,shift,leaky", [
+    ((2, 13, 13, 128, 64), 9, True),    # G-grouped whole-image path
+    ((1, 16, 12, 128, 256), 6, False),  # banded path (th<H)
+    ((2, 12, 11, 32, 40), 7, True),     # C padded 32->128, ragged W/N
+])
+def test_conv3x3_flat_exact(shape, shift, leaky):
+    """Flat-band kernel == banded kernel == XLA int32-accum, bit for bit."""
+    B, H, W, C, N = shape
+    rng = np.random.default_rng(7)
+    x = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    w = rng.integers(-32768, 32768, (3, 3, C, N)).astype(np.int16)
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    wp = q16.prep_conv_weights(w, bias)
+    got = q16.conv3x3_q16_flat(jnp.asarray(x), wp, shift, leaky,
+                               interpret=True)
+    assert got is not None
+    got = np.asarray(got)[..., :N]
+    want = np.asarray(convops.conv_int16(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias), 1, 1,
+        "leaky" if leaky else "linear", shift))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape,shift,leaky", [
+    ((2, 12, 10, 32, 64), 9, True),     # L2-like: 4C=128, N=64
+    ((1, 8, 6, 64, 128), 6, False),     # L4-like: 4C=256, N=128
+])
+def test_conv3x3p2_q16_exact(shape, shift, leaky):
+    """p2-packed conv == flat conv on the unpacked tensor, bit for bit."""
+    B, H, W, C, N = shape
+    rng = np.random.default_rng(4)
+    x = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    w = rng.integers(-32768, 32768, (3, 3, C, N)).astype(np.int16)
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    wp = q16.prep_conv_weights_p2(w, bias)
+    xpk = q16.pack2(jnp.asarray(x))
+    got = q16.conv3x3p2_q16_requant(xpk, wp, shift, leaky, interpret=True)
+    got = np.asarray(q16.unpack2(got))
+    want = np.asarray(convops.conv_int16(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias), 1, 1,
+        "leaky" if leaky else "linear", shift))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pack2_maxpool_roundtrip():
+    rng = np.random.default_rng(5)
+    x = rng.integers(-32768, 32768, (2, 12, 10, 32)).astype(np.int16)
+    xp = q16.pack2(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(q16.unpack2(xp)), x)
+    from yolotpu.ops import pool as pool_ops
+    got = np.asarray(q16.maxpool2x2_p2(xp))
+    want = np.asarray(pool_ops.maxpool(jnp.asarray(x), 2, 2, 0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mm_pairs_entry_conv_exact():
+    """Column-pair-packed entry conv == flat 3x3 conv, bit for bit."""
+    from yolotpu.models.yolov2 import _patches3x3_pairs
+    B, H, W, C, N = 2, 10, 12, 3, 32
+    rng = np.random.default_rng(6)
+    xq = rng.integers(-2000, 2000, (B, H, W, C)).astype(np.int16)
+    w = rng.integers(-32768, 32768, (3, 3, C, N)).astype(np.int16)
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    wp = q16.prep_matmul_weights_pairs(w, bias)
+    pf = _patches3x3_pairs(jnp.asarray(xq).astype(jnp.float32))
+    pq = pf.astype(jnp.int16)
+    o = q16.matmul_q16_requant(pq.reshape(-1, pq.shape[-1]), wp, 7, True,
+                               interpret=True)
+    got = np.asarray(o).reshape(B, H, W // 2, 2 * N).reshape(B, H, W, N)
+    want = np.asarray(convops.conv_int16(
+        jnp.asarray(xq), jnp.asarray(w), jnp.asarray(bias), 1, 1,
+        "leaky", 7))
     np.testing.assert_array_equal(got, want)
 
 
@@ -102,6 +178,6 @@ def test_full_net_pallas_bitexact_vs_golden():
     head = np.asarray(fwd(params, jnp.asarray(
         img.transpose(1, 2, 0)[None]))["head"])[0]
     np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
-    # coverage sanity: the graph must exercise all three kernel kinds
+    # coverage sanity: the graph must exercise the production kernel kinds
     kinds = {params[f"conv{l.idx}"]["kind"] for l in spec.conv_layers()}
-    assert {"mm", "conv3", "mm_patches"} <= kinds, kinds
+    assert {"mm", "conv3", "conv3p2", "mm_pairs"} <= kinds, kinds

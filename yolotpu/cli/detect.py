@@ -48,8 +48,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--precision", default="fp32",
                     choices=["fp32", "int16", "int8"])
     ap.add_argument("--compute", default="int32",
-                    choices=["int32", "f32", "f32_highest", "exact"],
-                    help="int16 conv compute mode")
+                    choices=["int32", "pallas", "f32", "f32_highest",
+                             "exact"],
+                    help="int16 conv compute mode (pallas = fused exact-"
+                         "int16 TPU kernels; interpret-mode off-TPU)")
     ap.add_argument("--weights-dir", default="weights",
                     help="directory with the .bin artifact set")
     ap.add_argument("--synthetic-weights", action="store_true",

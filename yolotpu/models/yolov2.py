@@ -113,6 +113,8 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
 
     width: dict[int, tuple[int, int]] = {}   # idx -> (real, padded)
     prev = (spec.net.channels, spec.net.channels)
+    first_conv = next(
+        (l.idx for l in spec.layers if isinstance(l, ConvSpec)), -1)
     for l in spec.layers:
         if isinstance(l, ConvSpec):
             in_real, in_pad = prev
@@ -131,10 +133,29 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                 p[f"conv{l.idx}"] = {"kind": "mm", "wp": wp}
                 prev = (l.n, wp["Np"])
             elif (l.size == 3 and l.stride == 1 and simple_act
+                  and l.groups == 1 and darknet_pad and l.c < 128
+                  and (4 * l.c) % 128 == 0 and l.n % 64 == 0
+                  and l.h % 2 == 0 and l.w % 2 == 0):
+                # small-C layers pack 2x2 spatial into lanes instead of
+                # padding channels: 9C/16C useful MACs vs 9C/(9*128)
+                wp = q16.prep_conv_weights_p2(whwio, bias_shifted)
+                p[f"conv{l.idx}"] = {"kind": "conv3p2", "wp": wp}
+                prev = (l.n, l.n)
+            elif (l.size == 3 and l.stride == 1 and simple_act
                   and l.groups == 1 and darknet_pad and l.c >= 8):
                 wp = q16.prep_conv_weights(whwio, bias_shifted, cp=in_pad)
                 p[f"conv{l.idx}"] = {"kind": "conv3", "wp": wp}
                 prev = (l.n, wp["Np"])
+            elif (l.size == 3 and l.stride == 1 and simple_act
+                  and l.groups == 1 and darknet_pad
+                  and l.idx == first_conv
+                  and l.n % 32 == 0 and l.w % 2 == 0):
+                # entry conv: column-pair packing -> full 128-lane dots and
+                # an exact-width (hpair) output, vs 4x pad waste + a 4x
+                # oversized output tensor for plain patches
+                wp = q16.prep_matmul_weights_pairs(whwio, bias_shifted)
+                p[f"conv{l.idx}"] = {"kind": "mm_pairs", "wp": wp}
+                prev = (l.n, l.n)
             elif (l.size == 3 and l.stride == 1 and simple_act
                   and l.groups == 1 and darknet_pad):
                 wp = q16.prep_matmul_weights(
@@ -159,6 +180,22 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
             pass
         width[l.idx] = prev
     return p
+
+
+def _patches3x3_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """Column-pair 3x4 im2col: (B,H,W,C) -> (B,H,W/2,12C).
+
+    Row (b, r, j) holds the union patch for output pixels (r, 2j) and
+    (r, 2j+1): taps (dy in 0..2, dxi in 0..3, c) at padded row r+dy-1,
+    padded col 2j+dxi-1 (matches prep_matmul_weights_pairs' row order).
+    Built from contiguous slices of a column-pair view — no strided
+    slicing (pathological for int16 on TPU; here x is f32 anyway)."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 3), (0, 0)))
+    xv = xp.reshape(b, h + 2, (w + 4) // 2, 2, c)
+    taps = [xv[:, dy:dy + h, dxi // 2:dxi // 2 + w // 2, dxi % 2, :]
+            for dy in range(3) for dxi in range(4)]
+    return jnp.concatenate(taps, axis=-1)
 
 
 def _patches3x3(x: jnp.ndarray) -> jnp.ndarray:
@@ -305,9 +342,21 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
         head = None
         cur_real = spec.net.channels   # real channels of cur (pallas mode
         # keeps activations channel-padded to >=128 lanes between kernels)
+        cur_layout = "flat"            # flat | p2 (2x2 spatial in lanes) |
+        #                                hpair (col pairs in lanes)
 
         def exact(v):
             return v if v.shape[-1] == cur_real else v[..., :cur_real]
+
+        def flat(v):
+            """Undo spatial lane packing; result carries exact channels."""
+            from ..ops import pallas_q16 as q16
+            if cur_layout == "p2":
+                return q16.unpack2(v)
+            if cur_layout == "hpair":
+                b_, h_, wb_, c2 = v.shape
+                return v.reshape(b_, h_, wb_ * 2, c2 // 2)
+            return exact(v)
 
         for l in spec.layers:
             if isinstance(l, ConvSpec):
@@ -326,14 +375,42 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                     leaky = l.activation == "leaky"
                     kind = pw["kind"]
                     if kind == "mm":
-                        b_, h_, w_, c_ = cur.shape
-                        o = q16.matmul_q16_requant(cur.reshape(-1, c_),
+                        v = flat(cur)
+                        if v.shape[-1] not in (pw["wp"]["K"], pw["wp"]["Kp"]):
+                            v = v[..., :pw["wp"]["K"]]
+                        b_, h_, w_, c_ = v.shape
+                        o = q16.matmul_q16_requant(v.reshape(-1, c_),
                                                    pw["wp"], shift, leaky,
                                                    out_np=True)
                         cur = o.reshape(b_, h_, w_, -1)
+                        cur_layout = "flat"
                     elif kind == "conv3":
-                        cur = q16.conv3x3_q16_requant(cur, pw["wp"], shift,
-                                                      leaky, out_np=True)
+                        v = flat(cur)
+                        if v.shape[-1] not in (pw["wp"]["C"], pw["wp"]["Cp"]):
+                            v = v[..., :pw["wp"]["C"]]
+                        o = q16.conv3x3_q16_flat(v, pw["wp"], shift, leaky)
+                        cur = (o if o is not None else
+                               q16.conv3x3_q16_requant(v, pw["wp"], shift,
+                                                       leaky, out_np=True))
+                        cur_layout = "flat"
+                    elif kind == "conv3p2":
+                        if cur_layout != "p2":
+                            cur = q16.pack2(exact(flat(cur))
+                                            if cur_layout != "flat"
+                                            else exact(cur))
+                        cur = q16.conv3x3p2_q16_requant(cur, pw["wp"], shift,
+                                                        leaky)
+                        cur_layout = "p2"
+                    elif kind == "mm_pairs":
+                        # first conv: column-pair-packed patches built on the
+                        # f32 input (quantization commutes elementwise)
+                        pf = _patches3x3_pairs(x)
+                        pq = convops.quantize_input_int16(pf, plan.input_q)
+                        b_, h_, wb_, k_ = pq.shape
+                        o = q16.matmul_q16_requant(pq.reshape(-1, k_),
+                                                   pw["wp"], shift, leaky)
+                        cur = o.reshape(b_, h_, wb_, -1)
+                        cur_layout = "hpair"
                     elif kind == "mm_patches":
                         if l.idx == first_conv_idx:
                             # patches commute with elementwise quantization:
@@ -342,16 +419,18 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                             pf = _patches3x3(x)
                             pq = convops.quantize_input_int16(pf, plan.input_q)
                         else:
-                            pq = _patches3x3(exact(cur))
+                            pq = _patches3x3(exact(flat(cur)))
                         b_, h_, w_, k_ = pq.shape
                         o = q16.matmul_q16_requant(pq.reshape(-1, k_),
                                                    pw["wp"], shift, leaky,
                                                    out_np=True)
                         cur = o.reshape(b_, h_, w_, -1)
+                        cur_layout = "flat"
                     else:
                         cur = convops.conv_int16(
-                            exact(cur), pw["w"], pw["b"], l.stride, l.pad,
-                            l.activation, shift, compute="int32")
+                            exact(flat(cur)), pw["w"], pw["b"], l.stride,
+                            l.pad, l.activation, shift, compute="int32")
+                        cur_layout = "flat"
                 else:
                     cur = convops.conv_int16(cur, pw["w"], pw["b"], l.stride,
                                              l.pad, l.activation,
@@ -359,8 +438,26 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                                              compute=compute)
                 cur_real = l.n
             elif isinstance(l, MaxPoolSpec):
-                cur = pool.maxpool(cur, l.size, l.stride, l.padding)
+                from ..ops import pallas_q16 as q16
+                if (cur_layout == "p2" and l.size == 2 and l.stride == 2):
+                    # each packed block IS one pool window: lane-group max
+                    cur = q16.maxpool2x2_p2(cur)
+                    cur_layout = "flat"
+                elif (cur_layout == "hpair" and l.size == 2 and l.stride == 2):
+                    b_, h_, wb_, c2 = cur.shape
+                    c_ = c2 // 2
+                    v = cur.reshape(b_, h_ // 2, 2, wb_, 2, c_)
+                    cur = jnp.max(jnp.max(v, axis=4), axis=2)
+                    cur_layout = "flat"
+                else:
+                    if cur_layout != "flat":
+                        cur = flat(cur)
+                        cur_layout = "flat"
+                    cur = pool.maxpool(cur, l.size, l.stride, l.padding)
             elif isinstance(l, ReorgSpec):
+                if cur_layout != "flat":
+                    cur = flat(cur)
+                    cur_layout = "flat"
                 cur = reorg.reorg(_batch_only(exact(cur)), l.stride)
                 cur = _batch_only(cur)
                 cur_real = cur.shape[-1]
@@ -373,18 +470,28 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                        _batch_only(jnp.concatenate(
                            [acts[s] for s in l.layers], axis=-1)))
                 cur_real = cur.shape[-1]
+                cur_layout = "flat"
             elif isinstance(l, RegionSpec):
+                if cur_layout != "flat":
+                    cur = flat(cur)
+                    cur_layout = "flat"
                 head = (convops.dequantize_int16(exact(cur), plan.output_q)
                         if plan is not None else cur)
                 cur = head
                 cur_real = cur.shape[-1]
             if l.idx in needed or debug:
+                if cur_layout != "flat":
+                    cur = flat(cur)
+                    cur_layout = "flat"
                 acts[l.idx] = exact(cur)   # routes/dumps see exact widths
             if debug:
                 all_acts[f"layer{l.idx}"] = acts.get(l.idx, exact(cur))
 
         out: dict = {}
         if head is None:   # headless graphs (e.g. backbone-only tests)
+            if cur_layout != "flat":
+                cur = flat(cur)
+                cur_layout = "flat"
             head = (exact(cur) if plan is None
                     else convops.dequantize_int16(exact(cur), plan.output_q))
         if "head" in outputs:

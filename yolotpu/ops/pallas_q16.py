@@ -111,6 +111,8 @@ def prep_matmul_weights(w16: np.ndarray, bias_shifted: np.ndarray,
     """
     K, N = w16.shape
     kp = kp or _round_up(K, 8)
+    if kp > 1024:
+        kp = _round_up(kp, LANE)   # K will be lane-blocked: see tk pick
     np_ = np_ or max(_round_up(N, 64), LANE)
     tn = tn or _pick_tile(np_, 512, 64)
     wp = np.zeros((kp, np_), np.int32)
@@ -168,6 +170,373 @@ def prep_conv_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray,
             "Np": np_, "tn": tn, "kh": kh, "kw": kw}
 
 
+def pack2(x: jnp.ndarray) -> jnp.ndarray:
+    """Space-to-depth 2x2 into lanes: (B,H,W,C) -> (B,H/2,W/2,4C).
+
+    Lane order is subposition-major, (a,b) row-major then channel — block
+    (i,j) holds original pixels (2i+a, 2j+b). This is the layout the
+    conv3x3p2 kernel consumes: with C in {32, 64} the packed channel count
+    is an exact multiple of 128 lanes, so the early small-C convs stop
+    wasting MXU columns on pad channels (the 2x2 spatial pack is the TPU
+    space-to-depth stem trick, here applied mid-network)."""
+    b, h, w, c = x.shape
+    v = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    v = v.transpose(0, 1, 3, 2, 4, 5)
+    return v.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def unpack2(y: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack2: (B,Hb,Wb,4C) -> (B,2Hb,2Wb,C)."""
+    b, hb, wb, c4 = y.shape
+    c = c4 // 4
+    v = y.reshape(b, hb, wb, 2, 2, c)
+    v = v.transpose(0, 1, 3, 2, 4, 5)
+    return v.reshape(b, 2 * hb, 2 * wb, c)
+
+
+def maxpool2x2_p2(y: jnp.ndarray) -> jnp.ndarray:
+    """2x2/s2 darknet maxpool fused with unpacking: on a p2-packed tensor
+    each block IS one pool window, so the pool is a max over the 4
+    subposition lane groups. (B,Hb,Wb,4C) -> (B,Hb,Wb,C) flat at H/2."""
+    b, hb, wb, c4 = y.shape
+    c = c4 // 4
+    return jnp.max(y.reshape(b, hb, wb, 4, c), axis=3)
+
+
+def prep_conv_weights_p2(w16_hwio: np.ndarray, bias_shifted: np.ndarray):
+    """w16 (3, 3, C, N) int16 -> dict for conv3x3p2_q16_requant.
+
+    Requires 4C % 128 == 0 and N % 64 == 0 (so each subposition dot is
+    lane-exact: K = 16C, dual-plane lanes = 2N >= 128).
+
+    Per output subposition s=(a,b) the kernel contracts a 2x2 packed-block
+    window (16C channels); weight row k = ((dy*2+dx)*4 + (p*2+q))*C + c maps
+    to original tap (dr, dc) = (a+2*dy+p-2, b+2*dx+q-2); taps outside the
+    3x3 stencil carry encoded zeros (hi=0, lo=-128), which the multi-word
+    identity cancels exactly for ANY activation value."""
+    kh, kw, C, N = w16_hwio.shape
+    assert (kh, kw) == (3, 3)
+    assert (4 * C) % LANE == 0, f"pack2 needs 4C%128==0, C={C}"
+    assert N % 64 == 0, f"pack2 needs N%64==0, N={N}"
+    K = 16 * C
+    w4 = np.zeros((4, K, N), np.int32)
+    for a in range(2):
+        for b in range(2):
+            s = a * 2 + b
+            for dy in range(2):
+                for dx in range(2):
+                    for p in range(2):
+                        for q in range(2):
+                            dr = a + 2 * dy + p - 2
+                            dc = b + 2 * dx + q - 2
+                            if -1 <= dr <= 1 and -1 <= dc <= 1:
+                                k0 = ((dy * 2 + dx) * 4 + (p * 2 + q)) * C
+                                w4[s, k0:k0 + C, :] = \
+                                    w16_hwio[dr + 1, dc + 1].astype(np.int32)
+    hi, lo = _split_pad_np(w4)
+    w2 = np.concatenate([hi, lo], axis=2)          # (4, K, 2N)
+    csum_hi = hi.sum(axis=1, dtype=np.int64)       # (4, N)
+    csum_lo = lo.sum(axis=1, dtype=np.int64)
+    nconst = ((csum_hi << 15) + (csum_lo << 7)
+              + (128 * 128) * K).astype(np.int32)  # (4, N)
+    bias = bias_shifted.astype(np.int32)
+    return {"w2": jnp.asarray(w2), "nconst": jnp.asarray(nconst),
+            "bias": jnp.asarray(bias), "C": C, "N": N, "K": K}
+
+
+def prep_matmul_weights_pairs(w16_hwio: np.ndarray,
+                              bias_shifted: np.ndarray):
+    """w16 (3, 3, C, N) int16 -> dict for the column-pair-packed entry conv.
+
+    The entry conv (C=3) cannot usefully pad channels; instead each matmul
+    row computes a PAIR of horizontally adjacent output pixels from a 3x4
+    patch window (K = 12C), so the dual-plane lane width is 2*(2N) — full
+    128 lanes at N=32 instead of 4x pad waste. Patch row k = (dy*4+dxi)*C+c
+    maps to padded input (dy, dxi); output sub-column s' uses taps with
+    dc = dxi-1-s' in {-1,0,1}; others carry encoded zeros."""
+    kh, kw, C, N = w16_hwio.shape
+    assert (kh, kw) == (3, 3)
+    assert (2 * N) % 32 == 0
+    K = 12 * C
+    w32 = np.zeros((K, 2 * N), np.int32)
+    for dy in range(3):
+        for dxi in range(4):
+            k0 = (dy * 4 + dxi) * C
+            for sp in range(2):
+                dc = dxi - 1 - sp
+                if -1 <= dc <= 1:
+                    w32[k0:k0 + C, sp * N:(sp + 1) * N] = \
+                        w16_hwio[dy, dc + 1].astype(np.int32)
+    kp = _round_up(K, 8)
+    wpad = np.zeros((kp, 2 * N), np.int32)
+    wpad[:K] = w32
+    hi, lo = _split_pad_np(wpad)
+    w2 = np.concatenate([hi, lo], axis=1)          # (kp, 4N)
+    csum_hi = hi.sum(axis=0, dtype=np.int64)
+    csum_lo = lo.sum(axis=0, dtype=np.int64)
+    nconst = ((csum_hi << 15) + (csum_lo << 7)
+              + (128 * 128) * kp).astype(np.int32)
+    bias2 = np.tile(bias_shifted.astype(np.int32), 2)
+    return {"w2": jnp.asarray(w2), "nconst": jnp.asarray(nconst),
+            "bias": jnp.asarray(bias2), "K": K, "Kp": kp,
+            "N": 2 * N, "Np": 2 * N, "tn": 2 * N}
+
+
+def _conv_p2_kernel(xh_hbm, xl_hbm, w_ref, nconst_ref, bias_ref, o_ref,
+                    xh_s, xl_s, ah, al, ystore, sems, *,
+                    th, Wb, C4, N, shift_out, leaky):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    c1 = pltpu.make_async_copy(xh_hbm.at[b, pl.ds(i * th, th + 2)],
+                               xh_s, sems.at[0])
+    c2 = pltpu.make_async_copy(xl_hbm.at[b, pl.ds(i * th, th + 2)],
+                               xl_s, sems.at[1])
+    c1.start()
+    c2.start()
+    c1.wait()
+    c2.wait()
+
+    M = th * Wb
+    for s in range(4):
+        a, bb = s // 2, s % 2
+        for dy in range(2):
+            for dx in range(2):
+                t = dy * 2 + dx
+                ah[:, t * C4:(t + 1) * C4] = \
+                    xh_s[a + dy:a + dy + th, bb + dx:bb + dx + Wb, :] \
+                    .reshape(M, C4)
+                al[:, t * C4:(t + 1) * C4] = \
+                    xl_s[a + dy:a + dy + th, bb + dx:bb + dx + Wb, :] \
+                    .reshape(M, C4)
+        w2 = w_ref[s]
+        acch = jnp.dot(ah[:], w2, preferred_element_type=jnp.int32)
+        accl = jnp.dot(al[:], w2, preferred_element_type=jnp.int32)
+        rsum = ((jnp.sum(ah[:].astype(jnp.int32), axis=1, keepdims=True) << 8)
+                + jnp.sum(al[:].astype(jnp.int32), axis=1, keepdims=True))
+        acc = _recombine(acch, accl, rsum, nconst_ref[s], N)
+        ystore[:, s * N:(s + 1) * N] = _requant(acc, bias_ref[:], shift_out,
+                                                leaky)
+    o_ref[0] = ystore[:]
+
+
+def conv3x3p2_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
+                          leaky: bool, th: int | None = None,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """SAME 3x3/s1 conv on a p2-packed tensor, exact int16 requant.
+
+    x (B, Hb, Wb, 4C) int16 p2-packed (see pack2) -> (B, Hb, Wb, 4N)
+    p2-packed. Each subposition contracts K = 16C fully-resident channels
+    (9C useful -> 56% vs 12.5-25% for lane-padding small C), with all
+    loads/dots lane-exact. Output subposition stores are 2N-lane aligned
+    for N >= 64 (N == 64 writes half lane-tiles, a small penalty)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B, Hb, Wb, C4 = x.shape
+    C, N, K = wp["C"], wp["N"], wp["K"]
+    assert C4 == 4 * C, (C4, C)
+    if th is None:
+        # VMEM: band 2*(th+2)*(Wb+2)*C4 + abuf 2*th*Wb*K + acc 8*th*Wb*2N
+        th = max(1, min(Hb, (5 << 20) // (2 * Wb * K + 16 * Wb * N)))
+        while Hb % th:
+            th -= 1
+    pad_w = (-(Wb + 2)) % 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + pad_w), (0, 0)))
+    xh, xl = split16(xp)
+    M = th * Wb
+    nbands = Hb // th
+
+    out = pl.pallas_call(
+        functools.partial(_conv_p2_kernel, th=th, Wb=Wb, C4=C4, N=N,
+                          shift_out=shift_out, leaky=leaky),
+        grid=(B, nbands),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((4, K, 2 * N), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, N), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N,), lambda b, i: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M, 4 * N), lambda b, i: (b * nbands + i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nbands, M, 4 * N), jnp.int16),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, Wb + 2 + pad_w, C4), jnp.int8),
+            pltpu.VMEM((th + 2, Wb + 2 + pad_w, C4), jnp.int8),
+            pltpu.VMEM((M, K), jnp.int8),
+            pltpu.VMEM((M, K), jnp.int8),
+            pltpu.VMEM((M, 4 * N), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xh, xl, wp["w2"], wp["nconst"], wp["bias"])
+    return out.reshape(B, Hb, Wb, 4 * N)
+
+
+def _convf_kernel(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, o_ref,
+                  xh_s, xl_s, ah, al, rsum, sems, *,
+                  G, th, W2a, Cp, tn, kh, kw, shift_out, leaky):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    M1 = th * W2a
+    FLb = (th + kh - 1) * W2a
+
+    @pl.when(j == 0)
+    def _load():
+        # dst is a leading slice: the scratch carries kw-1 extra (rounded)
+        # rows so the largest tap offset dy*W2a+dx stays in bounds; the
+        # tail is uninitialized and only feeds discarded garbage columns
+        if G > 1:
+            src_h = xh_hbm.at[pl.ds(b * G, G)]
+            src_l = xl_hbm.at[pl.ds(b * G, G)]
+            dst_h = xh_s.at[:, pl.ds(0, FLb)]
+            dst_l = xl_s.at[:, pl.ds(0, FLb)]
+        else:
+            src_h = xh_hbm.at[b, pl.ds(i * M1, FLb)]
+            src_l = xl_hbm.at[b, pl.ds(i * M1, FLb)]
+            dst_h = xh_s.at[pl.ds(0, FLb)]
+            dst_l = xl_s.at[pl.ds(0, FLb)]
+        c1 = pltpu.make_async_copy(src_h, dst_h, sems.at[0])
+        c2 = pltpu.make_async_copy(src_l, dst_l, sems.at[1])
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
+        # one shared im2col: every tap of the flattened (rows*W2a) band is a
+        # CONTIGUOUS sublane slice at offset dy*W2a+dx — no ragged per-row
+        # copies (the previous kernel's dominant cost); wrap-around columns
+        # compute garbage that the caller slices off
+        for g in range(G):
+            for dy in range(kh):
+                for dx in range(kw):
+                    t = dy * kw + dx
+                    off = dy * W2a + dx
+                    if G > 1:
+                        s_h = xh_s[g, off:off + M1]
+                        s_l = xl_s[g, off:off + M1]
+                    else:
+                        s_h = xh_s[off:off + M1]
+                        s_l = xl_s[off:off + M1]
+                    ah[g * M1:(g + 1) * M1, t * Cp:(t + 1) * Cp] = s_h
+                    al[g * M1:(g + 1) * M1, t * Cp:(t + 1) * Cp] = s_l
+        rsum[:] = ((jnp.sum(ah[:].astype(jnp.int32), axis=1,
+                            keepdims=True) << 8)
+                   + jnp.sum(al[:].astype(jnp.int32), axis=1,
+                             keepdims=True))
+
+    w2 = w_ref[0]
+    acch = jnp.dot(ah[:], w2, preferred_element_type=jnp.int32)
+    accl = jnp.dot(al[:], w2, preferred_element_type=jnp.int32)
+    acc = _recombine(acch, accl, rsum[:], nc_ref[0, 0], tn)
+    o_ref[0] = _requant(acc, b_ref[0, 0], shift_out, leaky)
+
+
+def _flat_geometry(B: int, H: int, W: int, Cp: int, K: int, tn: int,
+                   kh: int, budget: int = 10 << 20):
+    """Pick (G, th, nbands, W2a, Hp) for conv3x3_q16_flat.
+
+    DMA band starts index the flat (tiled) dim, so G==1 bands require
+    th*W2a % 32 == 0 (int8 sublane tiling); whole-image programs slice only
+    the untiled batch dim and carry no such constraint."""
+    W2a = _round_up(W + kh - 1, 8)
+
+    def vmem(g, t):
+        m1 = t * W2a
+        return (2 * g * (t + kh - 1) * W2a * Cp + 2 * g * m1 * K
+                + 4 * g * m1 + 2 * K * tn + 2 * g * m1 * tn)
+
+    if H * W2a <= 1024:          # small-spatial: group G whole images
+        G = max(1, min(B, 4096 // (H * W2a)))
+        while B % G or (G > 1 and vmem(G, H) > budget):
+            G -= 1
+        return G, H, 1, W2a, H
+    th = min(H, max(1, 4096 // W2a))
+    while th > 1 and ((th * W2a) % 32 or H % th or vmem(1, th) > budget):
+        th -= 1
+    if (th * W2a) % 32 or vmem(1, th) > budget:
+        return None              # no legal banding; caller falls back
+    return 1, th, H // th, W2a, H
+
+
+def conv3x3_q16_flat(x: jnp.ndarray, wp: dict, shift_out: int,
+                     leaky: bool, interpret: bool | None = None
+                     ) -> jnp.ndarray | None:
+    """Flat-band SAME 3x3/s1 conv, exact int16 requant (fast path).
+
+    Same contract and wp dict as conv3x3_q16_requant (returns padded-Np
+    channels). Returns None when no legal flat geometry exists so the
+    caller can fall back to the banded kernel."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B, H, W, C = x.shape
+    kh, kw = wp["kh"], wp["kw"]
+    Cp, np_, tn = wp["Cp"], wp["Np"], wp["tn"]
+    assert C in (wp["C"], Cp), (C, wp["C"], Cp)
+    if Cp % LANE:
+        return None
+    if C != Cp:
+        x = pad_channels(x, Cp)
+    K = kh * kw * Cp
+    geo = _flat_geometry(B, H, W, Cp, K, tn, kh)
+    if geo is None:
+        return None
+    G, th, nbands, W2a, Hp = geo
+    M1 = th * W2a
+
+    xp = jnp.pad(x, ((0, 0), (1, 1 + (Hp - H) + (kh - 3)),
+                     (1, W2a - W - 1), (0, 0)))
+    xh, xl = split16(xp)
+    FL = (Hp + kh - 1) * W2a
+    xh = xh.reshape(B, FL, Cp)
+    xl = xl.reshape(B, FL, Cp)
+
+    FLs = _round_up((th + kh - 1) * W2a + kw - 1, 8)
+    if G > 1:
+        xs_shape = (G, FLs, Cp)
+    else:
+        xs_shape = (FLs, Cp)
+    out = pl.pallas_call(
+        functools.partial(_convf_kernel, G=G, th=th, W2a=W2a, Cp=Cp, tn=tn,
+                          kh=kh, kw=kw, shift_out=shift_out, leaky=leaky),
+        grid=(B // G, nbands, np_ // tn),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, K, 2 * tn), lambda b, i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda b, i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda b, i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G * M1, tn),
+                               lambda b, i, j: (b * nbands + i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((B // G) * nbands, G * M1, np_),
+                                       jnp.int16),
+        scratch_shapes=[
+            pltpu.VMEM(xs_shape, jnp.int8),
+            pltpu.VMEM(xs_shape, jnp.int8),
+            pltpu.VMEM((G * M1, K), jnp.int8),
+            pltpu.VMEM((G * M1, K), jnp.int8),
+            pltpu.VMEM((G * M1, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xh, xl, wp["w2"], wp["nconst"].reshape(np_ // tn, 1, tn),
+      wp["bias"].reshape(np_ // tn, 1, tn))
+
+    # (programs, G*M1, np_) -> (B, Hp, W2a, np_) -> crop garbage rows/cols
+    if G > 1:
+        out = out.reshape(B, th, W2a, np_)
+    else:
+        out = out.reshape(B, nbands * th, W2a, np_)
+    return out[:, :H, :W]
+
+
 # ---------------------------------------------------------------------------
 # Shared epilogue (all int32 — Mosaic-legal)
 # ---------------------------------------------------------------------------
@@ -212,8 +581,8 @@ def _mm_kernel(xh_ref, xl_ref, w_ref, nconst_ref, bias_ref, o_ref,
 
     @pl.when(pl.program_id(2) == ksteps - 1)
     def _epi():
-        acc = _recombine(acch[:], accl[:], rsum[:], nconst_ref[:], tn)
-        o_ref[:] = _requant(acc, bias_ref[:], shift_out, leaky)
+        acc = _recombine(acch[:], accl[:], rsum[:], nconst_ref[0, 0], tn)
+        o_ref[:] = _requant(acc, bias_ref[0, 0], shift_out, leaky)
 
 
 def matmul_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
@@ -237,13 +606,16 @@ def matmul_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
     while pref < 4096 and (8 * 2 * pref * tn + 4 * pref * kp) < budget:
         pref *= 2
     tm = _pick_tile(M, pref, 32)
-    if tm > 4096:
-        tm = pref
+    if tm > 4096 or (tm < min(256, M) <= pref):
+        tm = pref     # no good divisor: pad M rather than run 32-row tiles
     pad_m = (-M) % tm
     if pad_m:
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
     Mp = M + pad_m
-    tk = _pick_tile(kp, 1024, 8)
+    # K blocks are the x operand's lane dim: either the full (possibly
+    # sub-128) kp, or a multiple of 128 (prep rounds kp to 128 when
+    # blocking will be needed, so a legal tile always divides)
+    tk = kp if kp <= 1024 else _pick_tile(kp, 1024, 128)
     ksteps = kp // tk
 
     xh, xl = split16(x)
@@ -258,9 +630,12 @@ def matmul_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, 2 * tn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn,), lambda i, j, k: (j,),
+            # 1-D operands blocked below full size hit an XLA/Mosaic layout
+            # mismatch (T(np_) vs T(tn)); feed the epilogue tables as 2-D
+            # (np_//tn, tn) rows instead
+            pl.BlockSpec((1, 1, tn), lambda i, j, k: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn,), lambda i, j, k: (j,),
+            pl.BlockSpec((1, 1, tn), lambda i, j, k: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
@@ -270,7 +645,8 @@ def matmul_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
                         pltpu.VMEM((tm, 2 * tn), jnp.int32),
                         pltpu.VMEM((tm, 1), jnp.int32)],
         interpret=interpret,
-    )(xh, xl, wp["w2"], wp["nconst"], wp["bias"])
+    )(xh, xl, wp["w2"], wp["nconst"].reshape(np_ // tn, 1, tn),
+      wp["bias"].reshape(np_ // tn, 1, tn))
     out = out[:M] if pad_m else out
     if out_np or np_ == wp["N"]:
         return out
@@ -350,8 +726,8 @@ def _conv_kernel(xh_hbm, xl_hbm, w_ref, nconst_ref, bias_ref, o_ref,
                                           keepdims=True) << 8)
                                  + jnp.sum(t_l.astype(jnp.int32), axis=1,
                                            keepdims=True))
-    acc = _recombine(acch[:], accl[:], rsum[:], nconst_ref[:], tn)
-    o_ref[0] = _requant(acc, bias_ref[:], shift_out, leaky)
+    acc = _recombine(acch[:], accl[:], rsum[:], nconst_ref[0, 0], tn)
+    o_ref[0] = _requant(acc, bias_ref[0, 0], shift_out, leaky)
 
 
 def conv3x3_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
@@ -382,9 +758,30 @@ def conv3x3_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
         th = max(1, min(H, 2048 // W))
         while H % th:
             th -= 1
+
+    def vmem_need(g, t, ab):
+        m = g * t * W
+        band = (t + kh - 1) * (W + kw - 1 + 7) * Cp * 2 * max(g, 1)
+        return (band + 16 * m * tn + kh * kw * Cp * 2 * tn
+                + 2 * m * tn + 4 * m + (2 * m * kh * kw * Cp if ab else 0))
+
     if use_abuf is None:
         # per-tap accumulator updates are VPU-bound at big K
         use_abuf = kh * kw * Cp >= 2304 and th * W * G * kh * kw * Cp <= (6 << 20)
+    # scratch must fit VMEM (~16 MB): shrink the image group, then drop the
+    # abuf, then shrink the row band (G-batched 13x13 layers at large batch
+    # otherwise demand 20-30 MB and Mosaic fails with ResourceExhausted)
+    budget = 11 << 20
+    while G > 1 and vmem_need(G, th, use_abuf) > budget:
+        G //= 2
+        while B % G:
+            G -= 1
+    if use_abuf and vmem_need(G, th, True) > budget:
+        use_abuf = False
+    while G == 1 and th > 1 and vmem_need(G, th, use_abuf) > budget:
+        th = max(1, th // 2)
+        while H % th:
+            th -= 1
     pad_h = (-H) % th
     pad_w = (-(W + kw - 1)) % 8
     xp = jnp.pad(x, ((0, 0), (1, 1 + pad_h), (1, 1 + pad_w), (0, 0)))
@@ -435,9 +832,10 @@ def conv3x3_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, kh * kw * Cp, 2 * tn), lambda j, b, i: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn,), lambda j, b, i: (j,),
+            # 2-D epilogue tables: see matmul_q16_requant
+            pl.BlockSpec((1, 1, tn), lambda j, b, i: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn,), lambda j, b, i: (j,),
+            pl.BlockSpec((1, 1, tn), lambda j, b, i: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -449,7 +847,8 @@ def conv3x3_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
             ((B // G) if G > 1 else B * nbands, M, np_), jnp.int16),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(xh, xl, wp["w2"], wp["nconst"], wp["bias"])
+    )(xh, xl, wp["w2"], wp["nconst"].reshape(np_ // tn, 1, tn),
+      wp["bias"].reshape(np_ // tn, 1, tn))
 
     # flat rows -> (B, H(+pad), W, Np): contiguous-dim reshape (free)
     if G > 1:
