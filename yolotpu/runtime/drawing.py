@@ -29,15 +29,21 @@ def class_rgb(cls: int, classes: int) -> tuple[int, int, int]:
 
 
 def draw_detections(chw: np.ndarray, dets, names: list[str],
-                    thresh: float) -> np.ndarray:
+                    thresh: float, use_alphabet: bool = True) -> np.ndarray:
     """Draw boxes for every class with prob > thresh (like draw_detections);
-    input/output CHW float [0,1]."""
+    input/output CHW float [0,1].
+
+    Labels composite from the synthesized glyph alphabet by default
+    (``yolo_post.cpp:248-307`` get_label/draw_label flow, tier picked by
+    image height h*0.03 like the reference); ``use_alphabet=False`` falls
+    back to PIL text rendering."""
     from PIL import Image, ImageDraw
     h, w = chw.shape[1], chw.shape[2]
     img = Image.fromarray(
         np.clip(chw.transpose(1, 2, 0) * 255 + 0.5, 0, 255).astype(np.uint8))
     drw = ImageDraw.Draw(img)
     width = max(1, int(h * 0.006))
+    labels = []
     for d in dets:
         cls = -1
         label = []
@@ -58,5 +64,16 @@ def draw_detections(chw: np.ndarray, dets, names: list[str],
         color = class_rgb(cls, d.classes)
         drw.rectangle([left, top, right, bot], outline=color, width=width)
         text = ", ".join(label)
-        drw.text((left + width + 1, max(0, top - 12)), text, fill=color)
-    return np.asarray(img, np.uint8).astype(np.float32).transpose(2, 0, 1) / 255.0
+        if use_alphabet:
+            labels.append((top + width, left, text, color))
+        else:
+            drw.text((left + width + 1, max(0, top - 12)), text, fill=color)
+    out = np.asarray(img, np.uint8).astype(np.float32).transpose(2, 0, 1) / 255.0
+    if use_alphabet and labels:
+        from . import alphabet as alpha
+        ab = alpha.load_alphabet()
+        for top, left, text, color in labels:
+            strip = alpha.get_label(ab, text, int(h * 0.03))
+            alpha.draw_label(out, top, left, strip,
+                             tuple(c / 255.0 for c in color))
+    return out
