@@ -181,3 +181,27 @@ def test_full_net_pallas_bitexact_vs_golden():
     # coverage sanity: the graph must exercise the production kernel kinds
     kinds = {params[f"conv{l.idx}"]["kind"] for l in spec.conv_layers()}
     assert {"mm", "conv3", "conv3p2", "mm_pairs"} <= kinds, kinds
+
+
+def test_full_net_pallas_bitexact_tiny():
+    """yolov2-tiny through the pallas q16 path == golden, bit for bit
+    (covers the stride-1 overlapping maxpool and small-C conv ladder)."""
+    from yolotpu.golden import GoldenNet
+    from yolotpu.models import yolov2, zoo
+    from yolotpu.quant import calibrate_activations, quantize_weights
+    from yolotpu.weights import WeightStore
+
+    spec = zoo.build("yolov2-tiny", width=96, height=96)
+    store = WeightStore.synthetic(spec, seed=3)
+    rng = np.random.default_rng(0)
+    img = rng.random((3, 96, 96)).astype(np.float32)
+    act_q = calibrate_activations(spec, store, [img])
+    quantize_weights(store, act_q)
+    g = GoldenNet(spec).forward_int16(img, store.int16, store.qtables,
+                                      mode="int32")
+    params = yolov2.params_q16(spec, store)
+    fwd = yolov2.build_forward(spec, "int16", store.qtables,
+                               compute="pallas", outputs=("head",))
+    head = np.asarray(fwd(params, jnp.asarray(
+        img.transpose(1, 2, 0)[None]))["head"])[0]
+    np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
