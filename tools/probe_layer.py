@@ -62,7 +62,10 @@ def main() -> int:
 
     FLOOR = floor_ms()
 
-    def timed(fn, xs, n_items=1, ops=None, name="?"):
+    def timed(fn, xs, n_items=1, ops=None, name="?", reps=4):
+        """reps * len(xs) dispatches per sync so device time dwarfs the
+        ~40 ms RPC window (runs shorter than the round-trip otherwise
+        hide inside it and report ~0)."""
         t0 = time.perf_counter()
         out = fn(xs[0])
         _ = float(jnp.sum(out.astype(jnp.float32))) if hasattr(out, "astype") \
@@ -70,10 +73,16 @@ def main() -> int:
         comp = time.perf_counter() - t0
 
         def run_all():
-            outs = [fn(x) for x in xs]
-            vals = [o if hasattr(o, "astype") else o["obj"] for o in outs]
-            s = jnp.stack([jnp.sum(v.astype(jnp.float32)) for v in vals])
-            return float(jnp.sum(s))
+            # accumulate sums without holding outputs alive (reps * |xs|
+            # big activations would otherwise exhaust HBM)
+            tot = None
+            for _ in range(reps):
+                for x in xs:
+                    o = fn(x)
+                    v = o if hasattr(o, "astype") else o["obj"]
+                    s = jnp.sum(v.astype(jnp.float32))
+                    tot = s if tot is None else tot + s
+            return float(tot)
 
         _ = run_all()
         ts = []
@@ -81,7 +90,8 @@ def main() -> int:
             t0 = time.perf_counter()
             _ = run_all()
             ts.append(time.perf_counter() - t0)
-        ms = max(1e-6, (float(np.median(ts)) * 1e3 - FLOOR) / len(xs))
+        ms = max(1e-6,
+                 (float(np.median(ts)) * 1e3 - FLOOR) / (reps * len(xs)))
         rec = {"probe": name, "B": B, "ms": round(ms, 3),
                "compile_s": round(comp, 1)}
         if ops:

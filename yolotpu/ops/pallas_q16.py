@@ -435,30 +435,45 @@ def _convf_kernel(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, o_ref,
 
 
 def _flat_geometry(B: int, H: int, W: int, Cp: int, K: int, tn: int,
-                   kh: int, budget: int = 10 << 20):
+                   kh: int, budget: int = 11 << 20):
     """Pick (G, th, nbands, W2a, Hp) for conv3x3_q16_flat.
 
-    DMA band starts index the flat (tiled) dim, so G==1 bands require
-    th*W2a % 32 == 0 (int8 sublane tiling); whole-image programs slice only
-    the untiled batch dim and carry no such constraint."""
-    W2a = _round_up(W + kh - 1, 8)
+    Cost model counts scratch (band planes, abuf, rsum), the weight tile,
+    the int16 out block, AND the two (M, 2tn) int32 dot results that live
+    on the Mosaic stack (the dominant hidden term — the 16 MB scoped-vmem
+    limit includes them).
 
-    def vmem(g, t):
-        m1 = t * W2a
-        return (2 * g * (t + kh - 1) * W2a * Cp + 2 * g * m1 * K
-                + 4 * g * m1 + 2 * K * tn + 2 * g * m1 * tn)
+    Banded DMA starts index the flat (tiled) dim, so bands require
+    th*W2a % 32 == 0 (int8 sublane tiling); whole-image programs slice
+    only the untiled batch dim and carry no such constraint."""
+    W2a8 = _round_up(W + kh - 1, 8)
 
-    if H * W2a <= 1024:          # small-spatial: group G whole images
-        G = max(1, min(B, 4096 // (H * W2a)))
-        while B % G or (G > 1 and vmem(G, H) > budget):
+    def vmem(g, t, w2a):
+        m1 = t * w2a
+        return (2 * g * (t + kh - 1) * w2a * Cp + 2 * g * m1 * K
+                + 4 * g * m1 + 2 * K * tn + 2 * g * m1 * tn
+                + 16 * g * m1 * tn)
+
+    # whole image per program (any H), grouping G images when small
+    if vmem(1, H, W2a8) <= budget:
+        G = max(1, min(B, 8192 // max(1, H * W2a8)))
+        while B % G or (G > 1 and vmem(G, H, W2a8) > budget):
             G -= 1
-        return G, H, 1, W2a, H
-    th = min(H, max(1, 4096 // W2a))
-    while th > 1 and ((th * W2a) % 32 or H % th or vmem(1, th) > budget):
-        th -= 1
-    if (th * W2a) % 32 or vmem(1, th) > budget:
+        return G, H, 1, W2a8, H
+    # banded: widest legal band wins; a 32-aligned row width unlocks
+    # th values an 8-aligned width cannot express
+    best = None
+    for w2a in dict.fromkeys((W2a8, _round_up(W + kh - 1, 32))):
+        for t in range(min(H, 4096 // w2a), 0, -1):
+            if H % t or (t * w2a) % 32 or vmem(1, t, w2a) > budget:
+                continue
+            if best is None or t > best[0]:
+                best = (t, w2a)
+            break
+    if best is None:
         return None              # no legal banding; caller falls back
-    return 1, th, H // th, W2a, H
+    th, w2a = best
+    return 1, th, H // th, w2a, H
 
 
 def conv3x3_q16_flat(x: jnp.ndarray, wp: dict, shift_out: int,
