@@ -179,8 +179,9 @@ def test_full_net_pallas_bitexact_vs_golden():
         img.transpose(1, 2, 0)[None]))["head"])[0]
     np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
     # coverage sanity: the graph must exercise the production kernel kinds
+    # (hybrid: decomposed pallas small-C + native-s16 XLA for big C)
     kinds = {params[f"conv{l.idx}"]["kind"] for l in spec.conv_layers()}
-    assert {"mm", "conv3", "conv3p2", "mm_pairs"} <= kinds, kinds
+    assert {"mm", "conv3", "mm_pairs", "xla"} <= kinds, kinds
 
 
 def test_full_net_pallas_bitexact_tiny():

@@ -20,10 +20,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..graph import (ConvSpec, MaxPoolSpec, NetworkSpec, RegionSpec,
                      ReorgSpec, RouteSpec)
 from ..ops import convops, pool, region, reorg
 from ..weights import QTables, WeightStore
+
+# pallas-tier per-layer engine selection (measured on v5e, round 2):
+# 3x3 convs with c >= this stay on XLA's native-s16 convs; smaller-C
+# layers use the decomposed Pallas kernels. Env knobs for benchmarking.
+_Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "192"))
+_Q16_USE_P2 = os.environ.get("YOLO2_Q16_USE_P2", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +140,18 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                     whwio.reshape(l.c, l.n), bias_shifted, kp=in_pad)
                 p[f"conv{l.idx}"] = {"kind": "mm", "wp": wp}
                 prev = (l.n, wp["Np"])
-            elif (l.size == 3 and l.stride == 1 and simple_act
+            elif l.size == 3 and l.c >= _Q16_XLA_MIN_C:
+                # channel-heavy 3x3 stage: XLA's s16 convs use the MXU's
+                # native s16 mode here (107-116 TOPS measured in-program,
+                # round 1) — above the 4-dot s8 decomposition's ~98 TOPS
+                # ceiling. The decomposed kernels only win where XLA
+                # collapses (small-C, large-spatial).
+                p[f"conv{l.idx}"] = {"kind": "xla",
+                                     "w": jnp.asarray(whwio),
+                                     "b": jnp.asarray(bias_shifted)}
+                prev = (l.n, l.n)
+            elif (_Q16_USE_P2
+                  and l.size == 3 and l.stride == 1 and simple_act
                   and l.groups == 1 and darknet_pad and l.c < 128
                   and (4 * l.c) % 128 == 0 and l.n % 64 == 0
                   and l.h % 2 == 0 and l.w % 2 == 0):
