@@ -138,6 +138,49 @@ def test_mm_pairs_entry_conv_exact():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("wmax,expect_bal", [
+    (32639, True),     # balanced split representable
+    (32767, False),    # weights >= 32640 force the offset fallback
+])
+def test_balanced_weight_split(wmax, expect_bal):
+    """Balanced weight planes (no per-row rsum) == offset encoding ==
+    oracle, bit for bit; the fallback triggers exactly when needed."""
+    rng = np.random.default_rng(11)
+    M, K, N = 96, 96, 40
+    x = rng.integers(-32768, 32768, (M, K)).astype(np.int16)
+    w = rng.integers(-32768, wmax + 1, (K, N)).astype(np.int16)
+    if expect_bal:
+        w = np.minimum(w, 32639).astype(np.int16)
+    else:
+        w[0, 0] = 32700          # ensure at least one unrepresentable
+    bias = rng.integers(-30000, 30000, N).astype(np.int32)
+    wp = q16.prep_matmul_weights(w, bias)
+    assert wp["bal"] == expect_bal
+    got = np.asarray(q16.matmul_q16_requant(
+        jnp.asarray(x), wp, 6, True, interpret=True))
+    want = _mm_oracle(x, w, bias, 6, True)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_balanced_conv_flat_and_banded():
+    B, H, W, C, N = 2, 10, 9, 128, 64
+    rng = np.random.default_rng(12)
+    x = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    w = rng.integers(-32768, 32640, (3, 3, C, N)).astype(np.int16)
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    wp = q16.prep_conv_weights(w, bias)
+    assert wp["bal"]
+    want = np.asarray(convops.conv_int16(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias), 1, 1,
+        "leaky", 8))
+    got_b = np.asarray(q16.conv3x3_q16_requant(
+        jnp.asarray(x), wp, 8, True, interpret=True))[..., :N]
+    np.testing.assert_array_equal(got_b, want)
+    got_f = q16.conv3x3_q16_flat(jnp.asarray(x), wp, 8, True,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_f)[..., :N], want)
+
+
 def test_encoded_zero_padding_is_zero():
     """K/N/C padding uses (hi=0, lo=-128) encoded zeros: padded positions
     must contribute exactly nothing."""

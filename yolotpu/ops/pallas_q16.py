@@ -100,6 +100,35 @@ def _split_pad_np(w32: np.ndarray):
     return hi, lo
 
 
+def _split_w_np(w32: np.ndarray):
+    """Weight-plane split, balanced when representable.
+
+    Balanced: w = 256*wh + wl with wh=(w+128)>>8, wl=w-256*wh, BOTH s8 —
+    valid for w <= 32639 (w in [32640, 32767] forces wh=128). With the
+    activation encoding x = 256*xh + (xl+128) the whole correction
+    collapses to the static column constant 128*colsum(w): no per-row
+    rsum reduce in the kernel (the dominant VPU cost at big K).
+    Falls back to the offset encoding (hi, lo+128) when any weight is
+    unrepresentable; returns (hi, lo, balanced).
+    """
+    if w32.max(initial=0) <= 32639:
+        hi = ((w32 + 128) >> 8).astype(np.int8)
+        lo = (w32 - 256 * hi.astype(np.int32)).astype(np.int8)
+        return hi, lo, True
+    hi, lo = _split_pad_np(w32)
+    return hi, lo, False
+
+
+def _nconst_np(w32, hi, lo, bal, kp, axis=0):
+    """Static epilogue constant (mod 2^32) for either encoding."""
+    if bal:
+        return (128 * w32.sum(axis=axis, dtype=np.int64)).astype(np.int32)
+    csum_hi = hi.sum(axis=axis, dtype=np.int64)
+    csum_lo = lo.sum(axis=axis, dtype=np.int64)
+    return ((csum_hi << 15) + (csum_lo << 7)
+            + (128 * 128) * kp).astype(np.int32)
+
+
 def prep_matmul_weights(w16: np.ndarray, bias_shifted: np.ndarray,
                         kp: int | None = None, np_: int | None = None,
                         tn: int | None = None):
@@ -117,21 +146,18 @@ def prep_matmul_weights(w16: np.ndarray, bias_shifted: np.ndarray,
     tn = tn or _pick_tile(np_, 512, 64)
     wp = np.zeros((kp, np_), np.int32)
     wp[:K, :N] = w16.astype(np.int32)
-    hi, lo = _split_pad_np(wp)
+    hi, lo, bal = _split_w_np(wp)
     blocks = []
     for j in range(np_ // tn):
         blocks.append(np.concatenate(
             [hi[:, j * tn:(j + 1) * tn], lo[:, j * tn:(j + 1) * tn]], axis=1))
     w2 = np.concatenate(blocks, axis=1)            # (kp, 2*np_)
-    csum_hi = hi.sum(axis=0, dtype=np.int64)
-    csum_lo = lo.sum(axis=0, dtype=np.int64)
-    nconst = ((csum_hi << 15) + (csum_lo << 7)
-              + (128 * 128) * kp).astype(np.int32)  # mod 2^32
+    nconst = _nconst_np(wp, hi, lo, bal, kp, axis=0)
     bias = np.zeros(np_, np.int32)
     bias[:N] = bias_shifted.astype(np.int32)
     return {"w2": jnp.asarray(w2), "nconst": jnp.asarray(nconst),
             "bias": jnp.asarray(bias), "K": K, "Kp": kp, "N": N,
-            "Np": np_, "tn": tn}
+            "Np": np_, "tn": tn, "bal": bal}
 
 
 def prep_conv_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray,
@@ -152,22 +178,19 @@ def prep_conv_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray,
             tn //= 2
     wp = np.zeros((kh * kw, cp, np_), np.int32)
     wp[:, :C, :N] = w16_hwio.astype(np.int32).reshape(kh * kw, C, N)
-    hi, lo = _split_pad_np(wp)
+    hi, lo, bal = _split_w_np(wp)
     jblocks = []
     for j in range(np_ // tn):
         jb = np.concatenate([hi[:, :, j * tn:(j + 1) * tn],
                              lo[:, :, j * tn:(j + 1) * tn]], axis=2)
         jblocks.append(jb.reshape(kh * kw * cp, 2 * tn))
     w2 = np.stack(jblocks, axis=0)                 # (Np/tn, taps*Cp, 2tn)
-    csum_hi = hi.sum(axis=(0, 1), dtype=np.int64)
-    csum_lo = lo.sum(axis=(0, 1), dtype=np.int64)
-    nconst = ((csum_hi << 15) + (csum_lo << 7)
-              + (128 * 128) * (kh * kw * cp)).astype(np.int32)
+    nconst = _nconst_np(wp, hi, lo, bal, kh * kw * cp, axis=(0, 1))
     bias = np.zeros(np_, np.int32)
     bias[:N] = bias_shifted.astype(np.int32)
     return {"w2": jnp.asarray(w2), "nconst": jnp.asarray(nconst),
             "bias": jnp.asarray(bias), "C": C, "Cp": cp, "N": N,
-            "Np": np_, "tn": tn, "kh": kh, "kw": kw}
+            "Np": np_, "tn": tn, "kh": kh, "kw": kw, "bal": bal}
 
 
 def pack2(x: jnp.ndarray) -> jnp.ndarray:
@@ -377,7 +400,7 @@ def conv3x3p2_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
 
 def _convf_kernel(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, o_ref,
                   xh_s, xl_s, ah, al, rsum, sems, *,
-                  G, th, W2a, Cp, tn, kh, kw, shift_out, leaky):
+                  G, th, W2a, Cp, tn, kh, kw, shift_out, leaky, bal):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -422,15 +445,17 @@ def _convf_kernel(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, o_ref,
                         s_l = xl_s[off:off + M1]
                     ah[g * M1:(g + 1) * M1, t * Cp:(t + 1) * Cp] = s_h
                     al[g * M1:(g + 1) * M1, t * Cp:(t + 1) * Cp] = s_l
-        rsum[:] = ((jnp.sum(ah[:].astype(jnp.int32), axis=1,
-                            keepdims=True) << 8)
-                   + jnp.sum(al[:].astype(jnp.int32), axis=1,
-                             keepdims=True))
+        if not bal:
+            rsum[:] = ((jnp.sum(ah[:].astype(jnp.int32), axis=1,
+                                keepdims=True) << 8)
+                       + jnp.sum(al[:].astype(jnp.int32), axis=1,
+                                 keepdims=True))
 
     w2 = w_ref[0]
     acch = jnp.dot(ah[:], w2, preferred_element_type=jnp.int32)
     accl = jnp.dot(al[:], w2, preferred_element_type=jnp.int32)
-    acc = _recombine(acch, accl, rsum[:], nc_ref[0, 0], tn)
+    acc = _recombine(acch, accl, None if bal else rsum[:],
+                     nc_ref[0, 0], tn)
     o_ref[0] = _requant(acc, b_ref[0, 0], shift_out, leaky)
 
 
@@ -515,7 +540,8 @@ def conv3x3_q16_flat(x: jnp.ndarray, wp: dict, shift_out: int,
         xs_shape = (FLs, Cp)
     out = pl.pallas_call(
         functools.partial(_convf_kernel, G=G, th=th, W2a=W2a, Cp=Cp, tn=tn,
-                          kh=kh, kw=kw, shift_out=shift_out, leaky=leaky),
+                          kh=kh, kw=kw, shift_out=shift_out, leaky=leaky,
+                          bal=wp.get("bal", False)),
         grid=(B // G, nbands, np_ // tn),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -557,10 +583,14 @@ def conv3x3_q16_flat(x: jnp.ndarray, wp: dict, shift_out: int,
 # ---------------------------------------------------------------------------
 
 def _recombine(acch, accl, rsum, nconst, tn):
+    """rsum is None for balanced-encoded weights (the row term vanishes;
+    only the static 128*colsum(w) column constant remains)."""
     hh, hl = acch[:, :tn], acch[:, tn:]
     lh, ll = accl[:, :tn], accl[:, tn:]
     acc = (hh << 16) + ((hl + lh) << 8) + ll
-    return acc + (rsum << 7) + nconst[None, :]
+    if rsum is not None:
+        acc = acc + (rsum << 7)
+    return acc + nconst[None, :]
 
 
 def _requant(acc, bias, shift_out: int, leaky: bool):
@@ -580,23 +610,27 @@ def _requant(acc, bias, shift_out: int, leaky: bool):
 # ---------------------------------------------------------------------------
 
 def _mm_kernel(xh_ref, xl_ref, w_ref, nconst_ref, bias_ref, o_ref,
-               acch, accl, rsum, *, ksteps, tn, shift_out, leaky):
+               acch, accl, rsum, *, ksteps, tn, shift_out, leaky, bal):
     @pl.when(pl.program_id(2) == 0)
     def _zero():
         acch[:] = jnp.zeros_like(acch)
         accl[:] = jnp.zeros_like(accl)
-        rsum[:] = jnp.zeros_like(rsum)
+        if not bal:
+            rsum[:] = jnp.zeros_like(rsum)
 
     xh, xl = xh_ref[:], xl_ref[:]
     w2 = w_ref[:]
     acch[:] += jnp.dot(xh, w2, preferred_element_type=jnp.int32)
     accl[:] += jnp.dot(xl, w2, preferred_element_type=jnp.int32)
-    rsum[:] += ((jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True) << 8)
-                + jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True))
+    if not bal:
+        rsum[:] += ((jnp.sum(xh.astype(jnp.int32), axis=1,
+                             keepdims=True) << 8)
+                    + jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True))
 
     @pl.when(pl.program_id(2) == ksteps - 1)
     def _epi():
-        acc = _recombine(acch[:], accl[:], rsum[:], nconst_ref[0, 0], tn)
+        acc = _recombine(acch[:], accl[:], None if bal else rsum[:],
+                         nconst_ref[0, 0], tn)
         o_ref[:] = _requant(acc, bias_ref[0, 0], shift_out, leaky)
 
 
@@ -636,7 +670,8 @@ def matmul_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
     xh, xl = split16(x)
     out = pl.pallas_call(
         functools.partial(_mm_kernel, ksteps=ksteps, tn=tn,
-                          shift_out=shift_out, leaky=leaky),
+                          shift_out=shift_out, leaky=leaky,
+                          bal=wp.get("bal", False)),
         grid=(Mp // tm, np_ // tn, ksteps),
         in_specs=[
             pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
@@ -676,7 +711,7 @@ def matmul_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
 def _conv_kernel(xh_hbm, xl_hbm, w_ref, nconst_ref, bias_ref, o_ref,
                  xh_s, xl_s, acch, accl, rsum, sems, *,
                  G, th, W, W2a, Cp, tn, kh, kw, shift_out, leaky,
-                 use_abuf, abuf_refs=None):
+                 use_abuf, bal=False, abuf_refs=None):
     b = pl.program_id(1)
     i = pl.program_id(2)
     nb = pl.num_programs(2)
@@ -718,14 +753,16 @@ def _conv_kernel(xh_hbm, xl_hbm, w_ref, nconst_ref, bias_ref, o_ref,
         w2 = w_ref[0]
         acch[:] = jnp.dot(ah[:], w2, preferred_element_type=jnp.int32)
         accl[:] = jnp.dot(al[:], w2, preferred_element_type=jnp.int32)
-        rsum[:] = ((jnp.sum(ah[:].astype(jnp.int32), axis=1,
-                            keepdims=True) << 8)
-                   + jnp.sum(al[:].astype(jnp.int32), axis=1,
-                             keepdims=True))
+        if not bal:
+            rsum[:] = ((jnp.sum(ah[:].astype(jnp.int32), axis=1,
+                                keepdims=True) << 8)
+                       + jnp.sum(al[:].astype(jnp.int32), axis=1,
+                                 keepdims=True))
     else:
         acch[:] = jnp.zeros_like(acch)
         accl[:] = jnp.zeros_like(accl)
-        rsum[:] = jnp.zeros_like(rsum)
+        if not bal:
+            rsum[:] = jnp.zeros_like(rsum)
         for g in range(G):
             sl = slice(g * M1, (g + 1) * M1)
             for dy in range(kh):
@@ -737,11 +774,13 @@ def _conv_kernel(xh_hbm, xl_hbm, w_ref, nconst_ref, bias_ref, o_ref,
                                         preferred_element_type=jnp.int32)
                     accl[sl] += jnp.dot(t_l, wblk,
                                         preferred_element_type=jnp.int32)
-                    rsum[sl] += ((jnp.sum(t_h.astype(jnp.int32), axis=1,
-                                          keepdims=True) << 8)
-                                 + jnp.sum(t_l.astype(jnp.int32), axis=1,
-                                           keepdims=True))
-    acc = _recombine(acch[:], accl[:], rsum[:], nconst_ref[0, 0], tn)
+                    if not bal:
+                        rsum[sl] += ((jnp.sum(t_h.astype(jnp.int32), axis=1,
+                                              keepdims=True) << 8)
+                                     + jnp.sum(t_l.astype(jnp.int32), axis=1,
+                                               keepdims=True))
+    acc = _recombine(acch[:], accl[:], None if bal else rsum[:],
+                     nconst_ref[0, 0], tn)
     o_ref[0] = _requant(acc, bias_ref[0, 0], shift_out, leaky)
 
 
@@ -819,7 +858,8 @@ def conv3x3_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
         pltpu.SemaphoreType.DMA((2,)),
     ]
     common = dict(G=G, th=th, W=W, W2a=W2a, Cp=Cp, tn=tn, kh=kh, kw=kw,
-                  shift_out=shift_out, leaky=leaky)
+                  shift_out=shift_out, leaky=leaky,
+                  bal=wp.get("bal", False))
     if use_abuf:
         scratch = scratch[:-1] + [
             pltpu.VMEM((M, kh * kw * Cp), jnp.int8),
