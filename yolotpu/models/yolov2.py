@@ -32,6 +32,7 @@ from ..weights import QTables, WeightStore
 # layers use the decomposed Pallas kernels. Env knobs for benchmarking.
 _Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "192"))
 _Q16_USE_P2 = os.environ.get("YOLO2_Q16_USE_P2", "0") == "1"
+_Q16_USE_PAIRS = os.environ.get("YOLO2_Q16_USE_PAIRS", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -140,6 +141,14 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                     whwio.reshape(l.c, l.n), bias_shifted, kp=in_pad)
                 p[f"conv{l.idx}"] = {"kind": "mm", "wp": wp}
                 prev = (l.n, wp["Np"])
+            elif l.size == 3 and l.c < 8 and not _Q16_USE_PAIRS:
+                # entry conv (C=3): every decomposed formulation is lane-
+                # hostile (K=27..40 blocks relayout every load; measured
+                # 175 ms at b128) — XLA's conv handles it acceptably
+                p[f"conv{l.idx}"] = {"kind": "xla",
+                                     "w": jnp.asarray(whwio),
+                                     "b": jnp.asarray(bias_shifted)}
+                prev = (l.n, l.n)
             elif l.size == 3 and l.c >= _Q16_XLA_MIN_C:
                 # channel-heavy 3x3 stage: XLA's s16 convs use the MXU's
                 # native s16 mode here (107-116 TOPS measured in-program,
