@@ -171,7 +171,11 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                 prev = (l.n, l.n)
             elif (l.size == 3 and l.stride == 1 and simple_act
                   and l.groups == 1 and darknet_pad and l.c >= 8):
-                wp = q16.prep_conv_weights(whwio, bias_shifted, cp=in_pad)
+                # producer width may be exact (e.g. after an XLA-kind
+                # layer); clamp to a lane multiple so the kernel never
+                # sees sub-128-lane channel tiles
+                wp = q16.prep_conv_weights(
+                    whwio, bias_shifted, cp=max(in_pad, q16.LANE))
                 p[f"conv{l.idx}"] = {"kind": "conv3", "wp": wp}
                 prev = (l.n, wp["Np"])
             elif (l.size == 3 and l.stride == 1 and simple_act
