@@ -250,3 +250,27 @@ def test_full_net_pallas_bitexact_tiny():
     head = np.asarray(fwd(params, jnp.asarray(
         img.transpose(1, 2, 0)[None]))["head"])[0]
     np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
+
+
+@pytest.mark.parametrize("shape,shift,leaky,wmax", [
+    ((2, 12, 10, 32, 64), 9, True, 32767),    # legacy encoding
+    ((1, 16, 12, 32, 64), 6, False, 32639),   # balanced encoding
+    ((2, 8, 10, 64, 128), 7, True, 32639),    # 4C=256, N=128
+])
+def test_conv3x3p2f_exact(shape, shift, leaky, wmax):
+    """Flat-band p2 kernel (shared shifted abuf) == oracle, bit for bit."""
+    B, H, W, C, N = shape
+    rng = np.random.default_rng(13)
+    x = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    w = np.minimum(rng.integers(-32768, 32768, (3, 3, C, N)),
+                   wmax).astype(np.int16)
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    wp = q16.prep_conv_weights_p2(w, bias)
+    xpk = q16.pack2(jnp.asarray(x))
+    got = q16.conv3x3p2f_q16_requant(xpk, wp, shift, leaky, interpret=True)
+    assert got is not None
+    got = np.asarray(q16.unpack2(got))
+    want = np.asarray(convops.conv_int16(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias), 1, 1,
+        "leaky" if leaky else "linear", shift))
+    np.testing.assert_array_equal(got, want)

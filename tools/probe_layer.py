@@ -170,6 +170,30 @@ def main() -> int:
         timed(fn, variants(xi), ops=ops, name=f"pflat:{arg}")
         return 0
 
+    if kind == "p2f":
+        # flat-band p2 kernel on a small-C 3x3 layer (input pre-packed)
+        l = convs[arg]
+        w16, b16 = store.int16[l.idx]
+        shift_bias = store.qtables.bias_q[
+            [c.idx for c in spec.conv_layers()].index(l.idx)] \
+            - plan.conv_qa_out[l.idx]
+        bias = m._round_shift_np(b16.astype(np.int64),
+                                 shift_bias).astype(np.int32)
+        whwio = np.ascontiguousarray(w16.transpose(2, 3, 1, 0))
+        wp = q16.prep_conv_weights_p2(whwio, bias)
+        shift = plan.conv_shift_out[l.idx]
+        leaky = l.activation == "leaky"
+        ops = 2.0 * B * l.out_h * l.out_w * l.n * l.c * 9
+        xi = jnp.asarray(rng.integers(
+            -32768, 32768, (B, l.h // 2, l.w // 2, 4 * l.c)
+        ).astype(np.int16))
+        fn = jax.jit(functools.partial(
+            q16.conv3x3p2f_q16_requant, wp=wp, shift_out=shift,
+            leaky=leaky))
+        assert fn(xi) is not None, "no p2f geometry"
+        timed(fn, variants(xi), ops=ops, name=f"p2f:{arg}")
+        return 0
+
     if kind in ("pallas", "xla"):
         l = convs[arg]
         params = m.params_q16(spec, store)

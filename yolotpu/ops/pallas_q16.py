@@ -256,15 +256,12 @@ def prep_conv_weights_p2(w16_hwio: np.ndarray, bias_shifted: np.ndarray):
                                 k0 = ((dy * 2 + dx) * 4 + (p * 2 + q)) * C
                                 w4[s, k0:k0 + C, :] = \
                                     w16_hwio[dr + 1, dc + 1].astype(np.int32)
-    hi, lo = _split_pad_np(w4)
+    hi, lo, bal = _split_w_np(w4)
     w2 = np.concatenate([hi, lo], axis=2)          # (4, K, 2N)
-    csum_hi = hi.sum(axis=1, dtype=np.int64)       # (4, N)
-    csum_lo = lo.sum(axis=1, dtype=np.int64)
-    nconst = ((csum_hi << 15) + (csum_lo << 7)
-              + (128 * 128) * K).astype(np.int32)  # (4, N)
+    nconst = _nconst_np(w4, hi, lo, bal, K, axis=1)  # (4, N)
     bias = bias_shifted.astype(np.int32)
     return {"w2": jnp.asarray(w2), "nconst": jnp.asarray(nconst),
-            "bias": jnp.asarray(bias), "C": C, "N": N, "K": K}
+            "bias": jnp.asarray(bias), "C": C, "N": N, "K": K, "bal": bal}
 
 
 def prep_matmul_weights_pairs(w16_hwio: np.ndarray,
@@ -307,7 +304,7 @@ def prep_matmul_weights_pairs(w16_hwio: np.ndarray,
 
 def _conv_p2_kernel(xh_hbm, xl_hbm, w_ref, nconst_ref, bias_ref, o_ref,
                     xh_s, xl_s, ah, al, ystore, sems, *,
-                    th, Wb, C4, N, shift_out, leaky):
+                    th, Wb, C4, N, shift_out, leaky, bal):
     b = pl.program_id(0)
     i = pl.program_id(1)
     c1 = pltpu.make_async_copy(xh_hbm.at[b, pl.ds(i * th, th + 2)],
@@ -334,8 +331,13 @@ def _conv_p2_kernel(xh_hbm, xl_hbm, w_ref, nconst_ref, bias_ref, o_ref,
         w2 = w_ref[s]
         acch = jnp.dot(ah[:], w2, preferred_element_type=jnp.int32)
         accl = jnp.dot(al[:], w2, preferred_element_type=jnp.int32)
-        rsum = ((jnp.sum(ah[:].astype(jnp.int32), axis=1, keepdims=True) << 8)
-                + jnp.sum(al[:].astype(jnp.int32), axis=1, keepdims=True))
+        if bal:
+            rsum = None
+        else:
+            rsum = ((jnp.sum(ah[:].astype(jnp.int32), axis=1,
+                             keepdims=True) << 8)
+                    + jnp.sum(al[:].astype(jnp.int32), axis=1,
+                              keepdims=True))
         acc = _recombine(acch, accl, rsum, nconst_ref[s], N)
         ystore[:, s * N:(s + 1) * N] = _requant(acc, bias_ref[:], shift_out,
                                                 leaky)
@@ -370,7 +372,8 @@ def conv3x3p2_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
 
     out = pl.pallas_call(
         functools.partial(_conv_p2_kernel, th=th, Wb=Wb, C4=C4, N=N,
-                          shift_out=shift_out, leaky=leaky),
+                          shift_out=shift_out, leaky=leaky,
+                          bal=wp.get("bal", False)),
         grid=(B, nbands),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -576,6 +579,123 @@ def conv3x3_q16_flat(x: jnp.ndarray, wp: dict, shift_out: int,
     else:
         out = out.reshape(B, nbands * th, W2a, np_)
     return out[:, :H, :W]
+
+
+def _convp2f_kernel(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, o_ref,
+                    xh_s, xl_s, ah, al, ystore, sems, *,
+                    th, W1a, C4, N, shift_out, leaky, bal):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    M1 = th * W1a
+    Ma = (th + 1) * W1a
+    FLb = (th + 2) * W1a
+
+    src_h = xh_hbm.at[b, pl.ds(i * M1, FLb)]
+    src_l = xl_hbm.at[b, pl.ds(i * M1, FLb)]
+    c1 = pltpu.make_async_copy(src_h, xh_s.at[pl.ds(0, FLb)], sems.at[0])
+    c2 = pltpu.make_async_copy(src_l, xl_s.at[pl.ds(0, FLb)], sems.at[1])
+    c1.start()
+    c2.start()
+    c1.wait()
+    c2.wait()
+
+    # ONE shared 2x2-block im2col over anchors (built once); subposition
+    # (a, b) then reads the SAME buffer at row offset a*W1a + b — the
+    # window-per-subposition problem becomes a shifted contiguous slice
+    for dy in range(2):
+        for dx in range(2):
+            t = dy * 2 + dx
+            off = dy * W1a + dx
+            ah[:Ma, t * C4:(t + 1) * C4] = xh_s[off:off + Ma]
+            al[:Ma, t * C4:(t + 1) * C4] = xl_s[off:off + Ma]
+
+    for s in range(4):
+        a, bb = s // 2, s % 2
+        off_s = a * W1a + bb
+        w2 = w_ref[s]
+        xa_h = ah[off_s:off_s + M1]
+        xa_l = al[off_s:off_s + M1]
+        acch = jnp.dot(xa_h, w2, preferred_element_type=jnp.int32)
+        accl = jnp.dot(xa_l, w2, preferred_element_type=jnp.int32)
+        if bal:
+            rs = None
+        else:
+            rs = ((jnp.sum(xa_h.astype(jnp.int32), axis=1,
+                           keepdims=True) << 8)
+                  + jnp.sum(xa_l.astype(jnp.int32), axis=1, keepdims=True))
+        acc = _recombine(acch, accl, rs, nc_ref[s], N)
+        ystore[:, s * N:(s + 1) * N] = _requant(acc, b_ref[0], shift_out,
+                                                leaky)
+    o_ref[0] = ystore[:]
+
+
+def conv3x3p2f_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
+                           leaky: bool, th: int | None = None,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """SAME 3x3/s1 conv on a p2-packed tensor, flat-band formulation.
+
+    x (B, Hb, Wb, 4C) int16 p2-packed (pack2 layout) -> (B, Hb, Wb, 4N)
+    p2-packed. One shared (anchors, 16C) im2col per band serves all four
+    output subpositions via shifted row reads; each subposition contracts
+    K = 16C with 9C useful (56%, vs 25% for lane-padding C=32).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    B, Hb, Wb, C4 = x.shape
+    C, N, K = wp["C"], wp["N"], wp["K"]
+    assert C4 == 4 * C and C4 % LANE == 0, (C4, C)
+    W1a = _round_up(Wb + 2, 8)
+    align = 1 if interpret else 32   # DMA flat-offset rule is HW-only
+    if th is None:
+        th = min(Hb, max(1, 4096 // W1a))
+        while th > 1 and (Hb % th or (th * W1a) % align):
+            th -= 1
+    if Hb % th or (th * W1a) % align:
+        return None
+    M1 = th * W1a
+    nbands = Hb // th
+
+    # packed SAME pad: 1 block each side (sub-rows beyond the stencil is
+    # covered by structurally-zero weights in the (2,2,4C,4N) expansion)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, W1a - Wb - 1), (0, 0)))
+    xh, xl = split16(xp)
+    FL = (Hb + 2) * W1a
+    xh = xh.reshape(B, FL, C4)
+    xl = xl.reshape(B, FL, C4)
+    FLs = _round_up((th + 2) * W1a + 2, 8)
+
+    out = pl.pallas_call(
+        functools.partial(_convp2f_kernel, th=th, W1a=W1a, C4=C4, N=N,
+                          shift_out=shift_out, leaky=leaky,
+                          bal=wp.get("bal", False)),
+        grid=(B, nbands),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((4, K, 2 * N), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, N), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M1, 4 * N),
+                               lambda b, i: (b * nbands + i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nbands, M1, 4 * N), jnp.int16),
+        scratch_shapes=[
+            pltpu.VMEM((FLs, C4), jnp.int8),
+            pltpu.VMEM((FLs, C4), jnp.int8),
+            pltpu.VMEM(((th + 1) * W1a + 2, 4 * C4), jnp.int8),
+            pltpu.VMEM(((th + 1) * W1a + 2, 4 * C4), jnp.int8),
+            pltpu.VMEM((M1, 4 * N), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xh, xl, wp["w2"], wp["nconst"], wp["bias"].reshape(1, N))
+
+    out = out.reshape(B, Hb, W1a, 4 * N)
+    return out[:, :, :Wb]
 
 
 # ---------------------------------------------------------------------------
