@@ -33,6 +33,11 @@ from ..weights import QTables, WeightStore
 _Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "192"))
 _Q16_USE_P2 = os.environ.get("YOLO2_Q16_USE_P2", "0") == "1"
 _Q16_USE_PAIRS = os.environ.get("YOLO2_Q16_USE_PAIRS", "0") == "1"
+# bisection knob: comma list of conv layer indices allowed to use the
+# pallas 3x3 kernels ("" = no restriction)
+_Q16_PALLAS_3X3 = {int(v) for v in
+                   os.environ.get("YOLO2_Q16_PALLAS_3X3", "").split(",")
+                   if v.strip()}
 
 
 # ---------------------------------------------------------------------------
@@ -145,6 +150,12 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                 # entry conv (C=3): every decomposed formulation is lane-
                 # hostile (K=27..40 blocks relayout every load; measured
                 # 175 ms at b128) — XLA's conv handles it acceptably
+                p[f"conv{l.idx}"] = {"kind": "xla",
+                                     "w": jnp.asarray(whwio),
+                                     "b": jnp.asarray(bias_shifted)}
+                prev = (l.n, l.n)
+            elif (l.size == 3 and _Q16_PALLAS_3X3
+                  and l.idx not in _Q16_PALLAS_3X3):
                 p[f"conv{l.idx}"] = {"kind": "xla",
                                      "w": jnp.asarray(whwio),
                                      "b": jnp.asarray(bias_shifted)}
