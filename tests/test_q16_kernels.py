@@ -209,6 +209,10 @@ def test_full_net_pallas_bitexact_vs_golden():
     spec = zoo.build("yolov2", width=64, height=64)
     store = WeightStore.synthetic(spec, seed=0)
     rng = np.random.default_rng(100)
+    # force the full hybrid kind mix regardless of the production default
+    # (which routes all 3x3 to XLA per in-program bisection)
+    old_min_c = yolov2._Q16_XLA_MIN_C
+    yolov2._Q16_XLA_MIN_C = 192
     img = rng.random((3, 64, 64)).astype(np.float32)
     act_q = calibrate_activations(spec, store, [img])
     quantize_weights(store, act_q)
@@ -220,10 +224,9 @@ def test_full_net_pallas_bitexact_vs_golden():
     params = yolov2.params_q16(spec, store)
     head = np.asarray(fwd(params, jnp.asarray(
         img.transpose(1, 2, 0)[None]))["head"])[0]
+    yolov2._Q16_XLA_MIN_C = old_min_c
     np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
-    # coverage sanity: the graph must exercise the production kernel kinds
-    # (hybrid: decomposed pallas mid-stage + native-s16 XLA for the entry
-    # conv and the channel-heavy 3x3 stage)
+    # coverage sanity: the graph must exercise every kernel kind
     kinds = {params[f"conv{l.idx}"]["kind"] for l in spec.conv_layers()}
     assert {"mm", "conv3", "xla"} <= kinds, kinds
 

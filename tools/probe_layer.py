@@ -260,6 +260,56 @@ def main() -> int:
         timed(fn, variants(xi), ops=ops, name=f"pallas[{pw['kind']}]:{arg}")
         return 0
 
+    if kind == "prefix":
+        # time a truncated prefix of the graph (layers 0..n-1) end to end:
+        # "prefix:12:int32" / "prefix:12:pallas"
+        nlayers, _, compute = arg.partition(":")
+        nlayers = int(nlayers)
+        from yolotpu.graph import NetworkSpec
+        from yolotpu.models.zoo import MODELS
+        from yolotpu.cfg import Section
+        mdef = MODELS["yolov2"]
+        sections = [Section(type="net", line=0, options={
+            "width": "416", "height": "416", "channels": "3"})]
+        for i, (t, opts) in enumerate(mdef["layers"][:nlayers], start=1):
+            sections.append(Section(type=t, line=i, options=dict(opts)))
+        pspec = NetworkSpec.from_sections(sections, batch=1)
+        pstore = WeightStore.synthetic(pspec, seed=0)
+        pcal = [rng.random((3, 416, 416), dtype=np.float32)]
+        pq = calibrate_activations(pspec, pstore, pcal)
+        quantize_weights(pstore, pq)
+        if compute == "pallas":
+            pparams = m.params_q16(pspec, pstore)
+        else:
+            pparams = m.params_int16(pspec, pstore)
+        pfwd = m.build_forward(pspec, "int16", pstore.qtables,
+                               compute=compute, outputs=("head",))
+        fn = jax.jit(lambda v: pfwd(pparams, v)["head"])
+        xe = jnp.asarray(rng.random((B, 416, 416, 3), dtype=np.float32))
+        xs = [xe + jnp.float32(i) * 1e-6 for i in range(8)]
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(fn(xs[0])))
+        comp = time.perf_counter() - t0
+
+        def run_all():
+            tot = None
+            for x in xs:
+                s = jnp.sum(fn(x))
+                tot = s if tot is None else tot + s
+            return float(tot)
+
+        _ = run_all()
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = run_all()
+            ts.append(time.perf_counter() - t0)
+        ms = (float(np.median(ts)) * 1e3 - FLOOR) / len(xs)
+        print(json.dumps({"probe": f"prefix{nlayers}:{compute}", "B": B,
+                          "ms_per_step": round(ms, 2),
+                          "compile_s": round(comp, 1)}), flush=True)
+        return 0
+
     if kind == "e2e":
         compute = arg
         if compute == "pallas":

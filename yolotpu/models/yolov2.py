@@ -27,10 +27,14 @@ from ..graph import (ConvSpec, MaxPoolSpec, NetworkSpec, RegionSpec,
 from ..ops import convops, pool, region, reorg
 from ..weights import QTables, WeightStore
 
-# pallas-tier per-layer engine selection (measured on v5e, round 2):
-# 3x3 convs with c >= this stay on XLA's native-s16 convs; smaller-C
-# layers use the decomposed Pallas kernels. Env knobs for benchmarking.
-_Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "192"))
+# pallas-tier per-layer engine selection (measured IN-PROGRAM on v5e,
+# round 2): XLA's s16 convs carry every 3x3 layer — the decomposed
+# kernels win standalone on the small-C stage but the per-layer glue
+# (channel pad to 128 lanes, plane split, crop) costs more in-program
+# than they save (bisection: pallas L08+L10 +3ms, +L04/L06 +31ms,
+# +L02 +37ms vs all-XLA 113ms at b128). The fused 1x1 matmul kernels
+# stay on. Env knobs for re-benchmarking.
+_Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "8"))
 _Q16_USE_P2 = os.environ.get("YOLO2_Q16_USE_P2", "0") == "1"
 _Q16_USE_PAIRS = os.environ.get("YOLO2_Q16_USE_PAIRS", "0") == "1"
 # bisection knob: comma list of conv layer indices allowed to use the
