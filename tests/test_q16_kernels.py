@@ -277,3 +277,29 @@ def test_conv3x3p2f_exact(shape, shift, leaky, wmax):
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias), 1, 1,
         "leaky" if leaky else "linear", shift))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape,shift,leaky,wmax", [
+    ((2, 16, 16, 3, 32), 7, True, 32639),     # balanced
+    ((1, 8, 24, 3, 32), 5, False, 32767),     # legacy fallback
+])
+def test_entry8_conv_pool_exact(shape, shift, leaky, wmax):
+    """Fused entry conv+pool == conv_int16 then darknet maxpool 2x2/s2,
+    bit for bit (pool commutes with the monotone requant chain)."""
+    from yolotpu.ops import pool as pool_ops
+    B, H, W, C, N = shape
+    rng = np.random.default_rng(14)
+    xq = rng.integers(-30000, 30000, (B, H, W, C)).astype(np.int16)
+    w = np.minimum(rng.integers(-32768, 32768, (3, 3, C, N)),
+                   wmax).astype(np.int16)
+    if wmax == 32767:
+        w[0, 0, 0, 0] = 32700
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    wp = q16.prep_entry8_weights(w, bias)
+    assert wp["bal"] == (wmax == 32639)
+    got = np.asarray(q16.entry8_forward(jnp.asarray(xq), wp, shift, leaky))
+    conv = convops.conv_int16(
+        jnp.asarray(xq), jnp.asarray(w), jnp.asarray(bias), 1, 1,
+        "leaky" if leaky else "linear", shift)
+    want = np.asarray(pool_ops.maxpool(conv, 2, 2, 0))
+    np.testing.assert_array_equal(got, want)

@@ -150,10 +150,25 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                     whwio.reshape(l.c, l.n), bias_shifted, kp=in_pad)
                 p[f"conv{l.idx}"] = {"kind": "mm", "wp": wp}
                 prev = (l.n, wp["Np"])
+            elif (l.size == 3 and l.stride == 1 and l.c <= 4
+                  and simple_act and l.groups == 1 and darknet_pad
+                  and l.w % 8 == 0 and l.h % 2 == 0
+                  and not _Q16_USE_PAIRS
+                  and _next_is_pool22(spec, l.idx)):
+                # fused entry: 8-output patch rows (K padded to one lane
+                # tile) + the following 2x2/s2 maxpool folded into the
+                # epilogue (pool commutes with the monotone requant chain).
+                # XLA spent 16 ms on conv0+pool0 at b128
+                wp = q16.prep_entry8_weights(whwio, bias_shifted)
+                p[f"conv{l.idx}"] = {"kind": "entry8", "wp": wp,
+                                     "w": jnp.asarray(whwio),
+                                     "b": jnp.asarray(bias_shifted)}
+                prev = (l.n, l.n)
             elif l.size == 3 and l.c < 8 and not _Q16_USE_PAIRS:
-                # entry conv (C=3): every decomposed formulation is lane-
-                # hostile (K=27..40 blocks relayout every load; measured
-                # 175 ms at b128) — XLA's conv handles it acceptably
+                # entry conv (C=3) without a fusable pool: every
+                # decomposed formulation is lane-hostile (K=27..40 blocks
+                # relayout every load; measured 175 ms at b128) — XLA's
+                # conv handles it acceptably
                 p[f"conv{l.idx}"] = {"kind": "xla",
                                      "w": jnp.asarray(whwio),
                                      "b": jnp.asarray(bias_shifted)}
@@ -227,6 +242,14 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
             pass
         width[l.idx] = prev
     return p
+
+
+def _next_is_pool22(spec: NetworkSpec, idx: int) -> bool:
+    """True when the layer after ``idx`` is a darknet 2x2/s2 maxpool
+    (the shape the fused entry kernel folds into its epilogue)."""
+    nxt = next((l for l in spec.layers if l.idx == idx + 1), None)
+    return (isinstance(nxt, MaxPoolSpec) and nxt.size == 2
+            and nxt.stride == 2 and nxt.padding == 0)
 
 
 def _patches3x3_pairs(x: jnp.ndarray) -> jnp.ndarray:
@@ -377,6 +400,7 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
     def forward(params: dict, x: jnp.ndarray) -> dict:
         acts: dict[int, jnp.ndarray] = {}
         all_acts: dict[str, jnp.ndarray] = {}
+        skip_pool: set[int] = set()    # pools folded into a fused conv
         if x.dtype == jnp.uint8:
             # uint8 frames upload 4x cheaper; /255 on device is bit-identical
             # to the host loader's f32 division (yolo2_image_loader.c:34-80)
@@ -421,7 +445,17 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                     shift = plan.conv_shift_out[l.idx]
                     leaky = l.activation == "leaky"
                     kind = pw["kind"]
-                    if kind == "mm":
+                    if (kind == "entry8"
+                            and (debug or l.idx + 1 in needed)):
+                        # per-layer dumps / a route into the pool need the
+                        # unfused intermediate: fall back to the XLA conv
+                        kind = "xla_fallback"
+                    if kind == "entry8":
+                        cur = q16.entry8_forward(exact(cur), pw["wp"],
+                                                 shift, leaky)
+                        skip_pool.add(l.idx + 1)
+                        cur_layout = "flat"
+                    elif kind == "mm":
                         v = flat(cur)
                         if v.shape[-1] not in (pw["wp"]["K"], pw["wp"]["Kp"]):
                             v = v[..., :pw["wp"]["K"]]
@@ -486,7 +520,9 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                 cur_real = l.n
             elif isinstance(l, MaxPoolSpec):
                 from ..ops import pallas_q16 as q16
-                if (cur_layout == "p2" and l.size == 2 and l.stride == 2):
+                if l.idx in skip_pool:
+                    pass                   # already applied in the producer
+                elif (cur_layout == "p2" and l.size == 2 and l.stride == 2):
                     # each packed block IS one pool window: lane-group max
                     cur = q16.maxpool2x2_p2(cur)
                     cur_layout = "flat"

@@ -581,6 +581,145 @@ def conv3x3_q16_flat(x: jnp.ndarray, wp: dict, shift_out: int,
     return out[:, :H, :W]
 
 
+# ---------------------------------------------------------------------------
+# Fused entry conv: 3x3/s1 C=3 conv + 2x2/s2 maxpool + requant in one pass
+# ---------------------------------------------------------------------------
+
+def prep_entry8_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray):
+    """w16 (3, 3, 3, N) int16 -> dict for entry8_conv_pool_q16.
+
+    Each matmul row computes EIGHT horizontally adjacent output pixels
+    from a 3x10 patch window (K = 90 -> padded 128, the minimum lane-
+    aligned width for a C=3 conv). Output columns are ordered
+    (parity, pooled-col p, n): col = parity*4N + p*N + n with output
+    sub-column s = 2p + parity — so the horizontal half of the following
+    2x2/s2 maxpool is the tile-aligned max(v[:, :4N], v[:, 4N:]).
+    Patch row k = (dy*10 + dxi)*3 + c maps to padded input (dy, dxi);
+    sub-column s uses taps with dc = dxi - 1 - s in {-1, 0, 1}."""
+    kh, kw, C, N = w16_hwio.shape
+    assert (kh, kw) == (3, 3) and C <= 4
+    K, KP = 30 * C, LANE
+    w32 = np.zeros((KP, 8 * N), np.int32)
+    for dy in range(3):
+        for dxi in range(10):
+            k0 = (dy * 10 + dxi) * C
+            for s in range(8):
+                dc = dxi - 1 - s
+                if -1 <= dc <= 1:
+                    parity, p = s % 2, s // 2
+                    col = parity * 4 * N + p * N
+                    w32[k0:k0 + C, col:col + N] = \
+                        w16_hwio[dy, dc + 1].astype(np.int32)
+    hi, lo, bal = _split_w_np(w32)
+    w2 = np.concatenate([hi, lo], axis=1)          # (128, 16N)
+    nconst = _nconst_np(w32, hi, lo, bal, KP, axis=0)
+    bias8 = np.zeros(8 * N, np.int32)
+    for s in range(8):
+        parity, p = s % 2, s // 2
+        bias8[parity * 4 * N + p * N:parity * 4 * N + (p + 1) * N] = \
+            bias_shifted.astype(np.int32)
+    return {"w2": jnp.asarray(w2), "nconst": jnp.asarray(nconst),
+            "bias": jnp.asarray(bias8), "N": N, "K": K, "Kp": KP,
+            "bal": bal}
+
+
+def patches_entry8(xq: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C<=4) int16 -> (B, H, W//8, 30C) 8-output patch rows.
+
+    Row (b, r, j) holds the union 3x10 window for output pixels
+    (r, 8j..8j+7): taps (dy, dxi, c) at padded row r+dy-1, padded col
+    8j+dxi-1 (matches prep_entry8_weights' row order)."""
+    b, h, w, c = xq.shape
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 15), (0, 0)))
+    xv = xp.reshape(b, h + 2, (w + 16) // 8, 8, c)
+    nb = w // 8
+    taps = [xv[:, dy:dy + h, dxi // 8:dxi // 8 + nb, dxi % 8, :]
+            for dy in range(3) for dxi in range(10)]
+    return jnp.concatenate(taps, axis=-1)
+
+
+def _entry8_kernel(xh_ref, xl_ref, w_ref, nc_ref, b_ref, o_ref, *,
+                   shift_out, leaky, bal, n4):
+    xh, xl = xh_ref[:], xl_ref[:]
+    w2 = w_ref[:]
+    acch = jnp.dot(xh, w2, preferred_element_type=jnp.int32)
+    accl = jnp.dot(xl, w2, preferred_element_type=jnp.int32)
+    if bal:
+        rs = None
+    else:
+        rs = ((jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True) << 8)
+              + jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True))
+    acc = _recombine(acch, accl, rs, nc_ref[0], 2 * n4)
+    v = _requant(acc, b_ref[0], shift_out, leaky)
+    # horizontal maxpool half: parity blocks are tile-aligned lane halves
+    o_ref[:] = jnp.maximum(v[:, :n4], v[:, n4:])
+
+
+def entry8_conv_pool_q16(patches: jnp.ndarray, wp: dict, shift_out: int,
+                         leaky: bool,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """8-output entry conv + horizontal pool half: (M, Kp) int16 patch
+    rows -> (M, 4N) int16, lanes = (pooled-col p, n). The vertical pool
+    half is a cheap XLA reshape-max on the untiled row dim (done by the
+    caller), because output rows r and r+1 live in different M rows."""
+    if interpret is None:
+        interpret = _interpret_default()
+    M, K = patches.shape
+    kp, N = wp["Kp"], wp["N"]
+    if K != kp:
+        patches = jnp.pad(patches, ((0, 0), (0, kp - K)))
+    n4 = 4 * N
+    tm = _pick_tile(M, 2048, 32)
+    if tm > 4096:
+        tm = 2048
+    pad_m = (-M) % tm
+    if pad_m:
+        patches = jnp.pad(patches, ((0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    xh, xl = split16(patches)
+    out = pl.pallas_call(
+        functools.partial(_entry8_kernel, shift_out=shift_out, leaky=leaky,
+                          bal=wp.get("bal", False), n4=n4),
+        grid=(Mp // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, kp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, kp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, 16 * N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, n4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, n4), jnp.int16),
+        interpret=interpret,
+    )(xh, xl, wp["w2"], wp["nconst"].reshape(1, 8 * N),
+      wp["bias"].reshape(1, 8 * N))
+    return out[:M] if pad_m else out
+
+
+def entry8_forward(xq: jnp.ndarray, wp: dict, shift_out: int,
+                   leaky: bool) -> jnp.ndarray:
+    """Full fused entry: quantized image (B, H, W, C) -> pooled conv
+    output (B, H/2, W/2, N) int16 (conv 3x3/s1 SAME + maxpool 2x2/s2)."""
+    B, H, W, C = xq.shape
+    N = wp["N"]
+    pf = patches_entry8(xq)
+    M = B * H * (W // 8)
+    o = entry8_conv_pool_q16(pf.reshape(M, pf.shape[-1]), wp, shift_out,
+                             leaky)
+    o = o.reshape(B, H, W // 8, 4 * N)
+    # vertical pool half: untiled row dim, reshape-max
+    o = o.reshape(B, H // 2, 2, W // 8, 4 * N).max(axis=2)
+    # unpack pooled columns from lanes: (.., W//8, 4, N) -> (.., W//2, N)
+    o = o.reshape(B, H // 2, W // 8, 4, N)
+    return o.reshape(B, H // 2, W // 8 * 4, N)
+
+
 def _convp2f_kernel(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, o_ref,
                     xh_s, xl_s, ah, al, ystore, sems, *,
                     th, W1a, C4, N, shift_out, leaky, bal):
