@@ -28,13 +28,16 @@ from ..ops import convops, pool, region, reorg
 from ..weights import QTables, WeightStore
 
 # pallas-tier per-layer engine selection (measured IN-PROGRAM on v5e,
-# round 2): XLA's s16 convs carry every 3x3 layer — the decomposed
-# kernels win standalone on the small-C stage but the per-layer glue
-# (channel pad to 128 lanes, plane split, crop) costs more in-program
-# than they save (bisection: pallas L08+L10 +3ms, +L04/L06 +31ms,
-# +L02 +37ms vs all-XLA 113ms at b128). The fused 1x1 matmul kernels
-# stay on. Env knobs for re-benchmarking.
-_Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "8"))
+# round 2, b128 416x416): the decomposed 3x3 kernels win at SMALL
+# spatial sizes (<= 26x26), where their flat-band dots beat XLA's s16
+# convs and the per-layer glue (plane split, channel pad, crop) is cheap
+# — pallas 13x13 block -5.3ms, +26x26 block and +L29 more (113.0 ->
+# 98.0ms e2e). At large spatial (>= 52x52) the glue dwarfs the kernel
+# gain (pallas L04/L06 +31ms, L02 +37ms) so XLA keeps those. The fused
+# 1x1 matmul kernels and the fused entry conv+pool are always on.
+# Env knobs below re-open the bisection.
+_Q16_PALLAS_MAX_HW = int(os.environ.get("YOLO2_Q16_PALLAS_MAX_HW", "676"))
+_Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "0"))
 _Q16_USE_P2 = os.environ.get("YOLO2_Q16_USE_P2", "0") == "1"
 _Q16_USE_PAIRS = os.environ.get("YOLO2_Q16_USE_PAIRS", "0") == "1"
 # bisection knob: comma list of conv layer indices allowed to use the
@@ -179,12 +182,13 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                                      "w": jnp.asarray(whwio),
                                      "b": jnp.asarray(bias_shifted)}
                 prev = (l.n, l.n)
-            elif l.size == 3 and l.c >= _Q16_XLA_MIN_C:
-                # channel-heavy 3x3 stage: XLA's s16 convs use the MXU's
-                # native s16 mode here (107-116 TOPS measured in-program,
-                # round 1) — above the 4-dot s8 decomposition's ~98 TOPS
-                # ceiling. The decomposed kernels only win where XLA
-                # collapses (small-C, large-spatial).
+            elif (l.size == 3
+                  and ((_Q16_XLA_MIN_C and l.c >= _Q16_XLA_MIN_C)
+                       or l.out_h * l.out_w > _Q16_PALLAS_MAX_HW)):
+                # large-spatial 3x3 stage: XLA's s16 convs win in-program
+                # (the decomposed kernels' per-layer glue — plane split,
+                # channel pad, crop — scales with the activation size and
+                # dwarfs their kernel advantage here; see module header)
                 p[f"conv{l.idx}"] = {"kind": "xla",
                                      "w": jnp.asarray(whwio),
                                      "b": jnp.asarray(bias_shifted)}
@@ -245,11 +249,18 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
 
 
 def _next_is_pool22(spec: NetworkSpec, idx: int) -> bool:
-    """True when the layer after ``idx`` is a darknet 2x2/s2 maxpool
-    (the shape the fused entry kernel folds into its epilogue)."""
+    """True when the layer after ``idx`` is a darknet 2x2/s2 maxpool whose
+    effective padding is zero (darknet's default padding=size-1 pads only
+    bottom/right and is unused when the input dims are even) — the shape
+    the fused entry kernel folds into its epilogue."""
     nxt = next((l for l in spec.layers if l.idx == idx + 1), None)
-    return (isinstance(nxt, MaxPoolSpec) and nxt.size == 2
-            and nxt.stride == 2 and nxt.padding == 0)
+    if not (isinstance(nxt, MaxPoolSpec) and nxt.size == 2
+            and nxt.stride == 2):
+        return False
+    out_h = (nxt.h + nxt.padding - 2) // 2 + 1
+    out_w = (nxt.w + nxt.padding - 2) // 2 + 1
+    return (nxt.h % 2 == 0 and nxt.w % 2 == 0
+            and out_h == nxt.h // 2 and out_w == nxt.w // 2)
 
 
 def _patches3x3_pairs(x: jnp.ndarray) -> jnp.ndarray:
