@@ -613,13 +613,9 @@ def prep_entry8_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray):
     hi, lo, bal = _split_w_np(w32)
     w2 = np.concatenate([hi, lo], axis=1)          # (128, 16N)
     nconst = _nconst_np(w32, hi, lo, bal, KP, axis=0)
-    bias8 = np.zeros(8 * N, np.int32)
-    for s in range(8):
-        parity, p = s % 2, s // 2
-        bias8[parity * 4 * N + p * N:parity * 4 * N + (p + 1) * N] = \
-            bias_shifted.astype(np.int32)
+    bias4 = np.tile(bias_shifted.astype(np.int32), 4)   # (4N,) per p,n
     return {"w2": jnp.asarray(w2), "nconst": jnp.asarray(nconst),
-            "bias": jnp.asarray(bias8), "N": N, "K": K, "Kp": KP,
+            "bias": jnp.asarray(bias4), "N": N, "K": K, "Kp": KP,
             "bal": bal}
 
 
@@ -650,9 +646,11 @@ def _entry8_kernel(xh_ref, xl_ref, w_ref, nc_ref, b_ref, o_ref, *,
         rs = ((jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True) << 8)
               + jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True))
     acc = _recombine(acch, accl, rs, nc_ref[0], 2 * n4)
-    v = _requant(acc, b_ref[0], shift_out, leaky)
-    # horizontal maxpool half: parity blocks are tile-aligned lane halves
-    o_ref[:] = jnp.maximum(v[:, :n4], v[:, n4:])
+    # horizontal maxpool half on the int32 accumulator (parity blocks are
+    # tile-aligned lane halves; legal: int16 max won't legalize in Mosaic,
+    # and max commutes with the monotone requant chain)
+    v32 = jnp.maximum(acc[:, :n4], acc[:, n4:])
+    o_ref[:] = _requant(v32, b_ref[0], shift_out, leaky)
 
 
 def entry8_conv_pool_q16(patches: jnp.ndarray, wp: dict, shift_out: int,
@@ -690,7 +688,7 @@ def entry8_conv_pool_q16(patches: jnp.ndarray, wp: dict, shift_out: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8 * N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8 * N), lambda i: (0, 0),
+            pl.BlockSpec((1, 4 * N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, n4), lambda i: (i, 0),
@@ -698,7 +696,7 @@ def entry8_conv_pool_q16(patches: jnp.ndarray, wp: dict, shift_out: int,
         out_shape=jax.ShapeDtypeStruct((Mp, n4), jnp.int16),
         interpret=interpret,
     )(xh, xl, wp["w2"], wp["nconst"].reshape(1, 8 * N),
-      wp["bias"].reshape(1, 8 * N))
+      wp["bias"].reshape(1, 4 * N))
     return out[:M] if pad_m else out
 
 
