@@ -619,14 +619,16 @@ def prep_entry8_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray):
             "bal": bal}
 
 
-def patches_entry8(xq: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C<=4) int16 -> (B, H, W//8, 30C) 8-output patch rows.
+def patches_entry8(xq: jnp.ndarray, pad_value: int = 0) -> jnp.ndarray:
+    """(B, H, W, C<=4) -> (B, H, W//8, 30C) 8-output patch rows.
 
     Row (b, r, j) holds the union 3x10 window for output pixels
     (r, 8j..8j+7): taps (dy, dxi, c) at padded row r+dy-1, padded col
-    8j+dxi-1 (matches prep_entry8_weights' row order)."""
+    8j+dxi-1 (matches prep_entry8_weights' row order). ``pad_value``
+    carries the encoded zero for s8 lo-plane inputs."""
     b, h, w, c = xq.shape
-    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 15), (0, 0)))
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 15), (0, 0)),
+                 constant_values=pad_value)
     xv = xp.reshape(b, h + 2, (w + 16) // 8, 8, c)
     nb = w // 8
     taps = [xv[:, dy:dy + h, dxi // 8:dxi // 8 + nb, dxi % 8, :]
@@ -653,28 +655,35 @@ def _entry8_kernel(xh_ref, xl_ref, w_ref, nc_ref, b_ref, o_ref, *,
     o_ref[:] = _requant(v32, b_ref[0], shift_out, leaky)
 
 
-def entry8_conv_pool_q16(patches: jnp.ndarray, wp: dict, shift_out: int,
-                         leaky: bool,
+def entry8_conv_pool_q16(ph: jnp.ndarray, pl_: jnp.ndarray, wp: dict,
+                         shift_out: int, leaky: bool,
                          interpret: bool | None = None) -> jnp.ndarray:
-    """8-output entry conv + horizontal pool half: (M, Kp) int16 patch
-    rows -> (M, 4N) int16, lanes = (pooled-col p, n). The vertical pool
+    """8-output entry conv + horizontal pool half: (M, Kp) s8 patch-row
+    PLANES -> (M, 4N) int16, lanes = (pooled-col p, n). The vertical pool
     half is a cheap XLA reshape-max on the untiled row dim (done by the
-    caller), because output rows r and r+1 live in different M rows."""
+    caller), because output rows r and r+1 live in different M rows.
+    Plane inputs keep HBM peak low (the b128 int16 patch tensor plus its
+    splits pushed the whole program past device memory)."""
     if interpret is None:
         interpret = _interpret_default()
-    M, K = patches.shape
+    M, K = ph.shape
     kp, N = wp["Kp"], wp["N"]
+    lo_zero = 0 if wp.get("bal", False) else -128
     if K != kp:
-        patches = jnp.pad(patches, ((0, 0), (0, kp - K)))
+        ph = jnp.pad(ph, ((0, 0), (0, kp - K)))
+        pl_ = jnp.pad(pl_, ((0, 0), (0, kp - K)),
+                      constant_values=lo_zero)
     n4 = 4 * N
     tm = _pick_tile(M, 2048, 32)
     if tm > 4096:
         tm = 2048
     pad_m = (-M) % tm
     if pad_m:
-        patches = jnp.pad(patches, ((0, pad_m), (0, 0)))
+        ph = jnp.pad(ph, ((0, pad_m), (0, 0)))
+        pl_ = jnp.pad(pl_, ((0, pad_m), (0, 0)),
+                      constant_values=lo_zero)
     Mp = M + pad_m
-    xh, xl = split16(patches)
+    xh, xl = ph, pl_
     out = pl.pallas_call(
         functools.partial(_entry8_kernel, shift_out=shift_out, leaky=leaky,
                           bal=wp.get("bal", False), n4=n4),
@@ -706,10 +715,13 @@ def entry8_forward(xq: jnp.ndarray, wp: dict, shift_out: int,
     output (B, H/2, W/2, N) int16 (conv 3x3/s1 SAME + maxpool 2x2/s2)."""
     B, H, W, C = xq.shape
     N = wp["N"]
-    pf = patches_entry8(xq)
+    qh, ql = split16(xq)            # split the small image, THEN build
+    pf_h = patches_entry8(qh)       # patch planes (s8): halves HBM peak
+    pf_l = patches_entry8(ql, 0 if wp.get("bal", False) else -128)
     M = B * H * (W // 8)
-    o = entry8_conv_pool_q16(pf.reshape(M, pf.shape[-1]), wp, shift_out,
-                             leaky)
+    o = entry8_conv_pool_q16(pf_h.reshape(M, pf_h.shape[-1]),
+                             pf_l.reshape(M, pf_l.shape[-1]), wp,
+                             shift_out, leaky)
     o = o.reshape(B, H, W // 8, 4 * N)
     # vertical pool half: untiled row dim, reshape-max
     o = o.reshape(B, H // 2, 2, W // 8, 4 * N).max(axis=2)
