@@ -668,7 +668,10 @@ def entry8_conv_pool_q16(ph: jnp.ndarray, pl_: jnp.ndarray, wp: dict,
         interpret = _interpret_default()
     M, K = ph.shape
     kp, N = wp["Kp"], wp["N"]
-    lo_zero = 0 if wp.get("bal", False) else -128
+    # activations ALWAYS use the offset encoding (x = 256*xh + (xl+128));
+    # an encoded activation zero is (hi 0, lo -128) whatever the WEIGHT
+    # encoding is
+    lo_zero = -128
     if K != kp:
         ph = jnp.pad(ph, ((0, 0), (0, kp - K)))
         pl_ = jnp.pad(pl_, ((0, 0), (0, kp - K)),
@@ -717,7 +720,7 @@ def entry8_forward(xq: jnp.ndarray, wp: dict, shift_out: int,
     N = wp["N"]
     qh, ql = split16(xq)            # split the small image, THEN build
     pf_h = patches_entry8(qh)       # patch planes (s8): halves HBM peak
-    pf_l = patches_entry8(ql, 0 if wp.get("bal", False) else -128)
+    pf_l = patches_entry8(ql, -128)   # encoded activation zero
     M = B * H * (W // 8)
     o = entry8_conv_pool_q16(pf_h.reshape(M, pf_h.shape[-1]),
                              pf_l.reshape(M, pf_l.shape[-1]), wp,
