@@ -33,13 +33,15 @@ from ..weights import QTables, WeightStore
 # convs and the per-layer glue (plane split, channel pad, crop) is cheap
 # — pallas 13x13 block -5.3ms, +26x26 block and +L29 more (113.0 ->
 # 98.0ms e2e). At large spatial (>= 52x52) the glue dwarfs the kernel
-# gain (pallas L04/L06 +31ms, L02 +37ms) so XLA keeps those. The fused
-# 1x1 matmul kernels and the fused entry conv+pool are always on.
-# Env knobs below re-open the bisection.
+# gain (pallas L04/L06 +31ms, L02 +37ms) so XLA keeps those, and the
+# entry conv+pool stays on XLA (the fused entry8 kernel's XLA-side patch
+# build measured 160ms vs 16). The fused 1x1 matmul kernels are always
+# on. Env knobs below re-open the bisection.
 _Q16_PALLAS_MAX_HW = int(os.environ.get("YOLO2_Q16_PALLAS_MAX_HW", "676"))
 _Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "0"))
 _Q16_USE_P2 = os.environ.get("YOLO2_Q16_USE_P2", "0") == "1"
 _Q16_USE_PAIRS = os.environ.get("YOLO2_Q16_USE_PAIRS", "0") == "1"
+_Q16_USE_ENTRY8 = os.environ.get("YOLO2_Q16_USE_ENTRY8", "0") == "1"
 # bisection knob: comma list of conv layer indices allowed to use the
 # pallas 3x3 kernels ("" = no restriction)
 _Q16_PALLAS_3X3 = {int(v) for v in
@@ -153,15 +155,18 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                     whwio.reshape(l.c, l.n), bias_shifted, kp=in_pad)
                 p[f"conv{l.idx}"] = {"kind": "mm", "wp": wp}
                 prev = (l.n, wp["Np"])
-            elif (l.size == 3 and l.stride == 1 and l.c <= 4
+            elif (_Q16_USE_ENTRY8
+                  and l.size == 3 and l.stride == 1 and l.c <= 4
                   and simple_act and l.groups == 1 and darknet_pad
                   and l.w % 8 == 0 and l.h % 2 == 0
                   and not _Q16_USE_PAIRS
                   and _next_is_pool22(spec, l.idx)):
                 # fused entry: 8-output patch rows (K padded to one lane
                 # tile) + the following 2x2/s2 maxpool folded into the
-                # epilogue (pool commutes with the monotone requant chain).
-                # XLA spent 16 ms on conv0+pool0 at b128
+                # epilogue. OFF by default: the kernel is exact but the
+                # XLA-side patch build (30 taps x 3-lane concats) measured
+                # 160 ms in-program vs XLA's 16 ms conv0+pool0 at b128 —
+                # needs an in-kernel patch feed before it can win
                 wp = q16.prep_entry8_weights(whwio, bias_shifted)
                 p[f"conv{l.idx}"] = {"kind": "entry8", "wp": wp,
                                      "w": jnp.asarray(whwio),
