@@ -42,6 +42,7 @@ _Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "0"))
 _Q16_USE_P2 = os.environ.get("YOLO2_Q16_USE_P2", "0") == "1"
 _Q16_USE_PAIRS = os.environ.get("YOLO2_Q16_USE_PAIRS", "0") == "1"
 _Q16_USE_ENTRY8 = os.environ.get("YOLO2_Q16_USE_ENTRY8", "0") == "1"
+_Q16_ENTRY = os.environ.get("YOLO2_Q16_ENTRY", "xla")
 # bisection knob: comma list of conv layer indices allowed to use the
 # pallas 3x3 kernels ("" = no restriction)
 _Q16_PALLAS_3X3 = {int(v) for v in
@@ -172,6 +173,13 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                                      "w": jnp.asarray(whwio),
                                      "b": jnp.asarray(bias_shifted)}
                 prev = (l.n, l.n)
+            elif (l.size == 3 and l.c < 8 and _Q16_ENTRY == "patches"
+                  and l.stride == 1 and simple_act and l.groups == 1
+                  and darknet_pad):
+                wp = q16.prep_matmul_weights(
+                    whwio.reshape(9 * l.c, l.n), bias_shifted)
+                p[f"conv{l.idx}"] = {"kind": "mm_patches", "wp": wp}
+                prev = (l.n, wp["Np"])
             elif l.size == 3 and l.c < 8 and not _Q16_USE_PAIRS:
                 # entry conv (C=3) without a fusable pool: every
                 # decomposed formulation is lane-hostile (K=27..40 blocks

@@ -160,9 +160,14 @@ def prep_matmul_weights(w16: np.ndarray, bias_shifted: np.ndarray,
             "Np": np_, "tn": tn, "bal": bal}
 
 
+import os as _os
+_CONV_W_BUDGET = int(_os.environ.get("YOLO2_Q16_CONV_W_BUDGET",
+                                     str(4 << 20)))
+
+
 def prep_conv_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray,
                       cp: int | None = None, tn: int | None = None,
-                      vmem_budget: int = 4 << 20):
+                      vmem_budget: int | None = None):
     """w16 (kh, kw, C, N) int16 -> dict for conv3x3_q16_requant.
 
     Layout (Np/tn, kh*kw*Cp, 2tn): block j holds every tap's [WH_j | WL_j],
@@ -170,6 +175,8 @@ def prep_conv_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray,
     channel-padded to match); N pads to >=128.
     """
     kh, kw, C, N = w16_hwio.shape
+    if vmem_budget is None:
+        vmem_budget = _CONV_W_BUDGET
     cp = cp or max(_round_up(C, 8), LANE)
     np_ = max(_round_up(N, 64), LANE)
     if tn is None:
