@@ -108,13 +108,13 @@ def _round_shift_np(v: np.ndarray, shift: int) -> np.ndarray:
 def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
     """Exact-int16 Pallas parameter format (compute='pallas').
 
-    Each conv gets a kernel-ready weight pack:
-      - 1x1/s1           -> fused matmul ("mm")
-      - 3x3/s1, C >= 8   -> halo-band conv kernel ("conv3")
-      - 3x3/s1, C < 8    -> im2col patches + matmul ("mm_patches"; padding
-                            C to the 128-lane minimum would waste 43x MACs
-                            on an RGB input, while patches waste only 32/27)
-      - anything else    -> XLA int32-accum fallback ("xla")
+    Each conv gets a kernel-ready weight pack (production mix, measured
+    in-program — see module header):
+      - 1x1/s1                     -> fused matmul ("mm")
+      - 3x3/s1, out-spatial <= 26² -> flat-band conv kernel ("conv3")
+      - 3x3 large-spatial / entry  -> XLA int32-accum ("xla")
+      - gated alternates           -> "entry8" (fused conv+pool),
+                                      "conv3p2"/"mm_pairs" (packed)
     All variants compute the identical int32-wraparound accumulation, so
     the tier stays bit-exact vs the golden int32 mode.
 
