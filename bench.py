@@ -55,24 +55,35 @@ def main() -> int:
               else m.params_int16(spec, store))
     fwd = m.build_forward(spec, "int16", store.qtables, compute=COMPUTE,
                           outputs=("head", "boxes"))
-    fn = jax.jit(lambda x: fwd(params, x))
+    # Honest production shape: uint8 frames (what a camera/decoder hands
+    # over — 4x cheaper on the host link; on-device /255 is bit-identical
+    # to the host loader's float division, yolo2_image_loader.c:34-80)
+    # with the input buffer DONATED, as the streaming engine runs it.
+    fn = jax.jit(lambda x: fwd(params, x), donate_argnums=(0,))
 
-    x = jnp.asarray(rng.random(
-        (BATCH, spec.net.height, spec.net.width, 3), dtype=np.float32))
-    out = fn(x)
-    _ = float(jnp.sum(out["obj"]))            # warmup + compile
+    base = rng.integers(0, 256, (BATCH, spec.net.height, spec.net.width, 3)
+                        ).astype(np.uint8)
+
+    def make_inputs():
+        # distinct per step so no caching layer can elide a dispatch;
+        # rebuilt per rep because donation consumes each buffer
+        b = jnp.asarray(base)
+        xs = [(b + jnp.uint8(i)) for i in range(STEPS)]
+        _ = float(jnp.sum(xs[-1].astype(jnp.float32)))   # materialize
+        return xs
+
+    _ = float(jnp.sum(fn(jnp.asarray(base))["obj"]))   # warmup + compile
 
     # Pipelined throughput: dispatch STEPS independent steps asynchronously
     # and sync once at the end. A synchronous readback costs ~39 ms over the
     # axon dev tunnel (an RPC artifact, not device time), so per-step syncs
-    # would measure the network. Inputs are made distinct per step so no
-    # caching layer can elide a dispatch; the device queue still executes
-    # them back-to-back.
-    xs = [x + jnp.float32(i) * jnp.float32(1e-6) for i in range(STEPS)]
+    # would measure the network.
+    xs = make_inputs()
     sums = [jnp.sum(fn(xi)["obj"]) for xi in xs]
     _ = float(sum(float(s) for s in sums))     # warm all buffers/paths
     times = []
     for _rep in range(3):
+        xs = make_inputs()                     # outside the timed region
         t0 = time.perf_counter()
         outs = [fn(xi)["obj"] for xi in xs]
         total = float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))

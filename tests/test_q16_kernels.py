@@ -212,19 +212,21 @@ def test_full_net_pallas_bitexact_vs_golden():
     # force the full hybrid kind mix regardless of the production default
     # (which routes all 3x3 to XLA per in-program bisection)
     old_min_c = yolov2._Q16_XLA_MIN_C
-    yolov2._Q16_XLA_MIN_C = 192
-    img = rng.random((3, 64, 64)).astype(np.float32)
-    act_q = calibrate_activations(spec, store, [img])
-    quantize_weights(store, act_q)
+    try:
+        yolov2._Q16_XLA_MIN_C = 192
+        img = rng.random((3, 64, 64)).astype(np.float32)
+        act_q = calibrate_activations(spec, store, [img])
+        quantize_weights(store, act_q)
 
-    g = GoldenNet(spec).forward_int16(img, store.int16, store.qtables,
-                                      mode="int32")
-    fwd = yolov2.build_forward(spec, "int16", store.qtables,
-                               compute="pallas", outputs=("head",))
-    params = yolov2.params_q16(spec, store)
-    head = np.asarray(fwd(params, jnp.asarray(
-        img.transpose(1, 2, 0)[None]))["head"])[0]
-    yolov2._Q16_XLA_MIN_C = old_min_c
+        g = GoldenNet(spec).forward_int16(img, store.int16, store.qtables,
+                                          mode="int32")
+        fwd = yolov2.build_forward(spec, "int16", store.qtables,
+                                   compute="pallas", outputs=("head",))
+        params = yolov2.params_q16(spec, store)
+        head = np.asarray(fwd(params, jnp.asarray(
+            img.transpose(1, 2, 0)[None]))["head"])[0]
+    finally:
+        yolov2._Q16_XLA_MIN_C = old_min_c
     np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
     # coverage sanity: the graph must exercise every kernel kind
     kinds = {params[f"conv{l.idx}"]["kind"] for l in spec.conv_layers()}
@@ -303,3 +305,74 @@ def test_entry8_conv_pool_exact(shape, shift, leaky, wmax):
         "leaky" if leaky else "linear", shift)
     want = np.asarray(pool_ops.maxpool(conv, 2, 2, 0))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape,shift,leaky,wmax", [
+    ((2, 16, 16, 3, 32), 7, True, 32639),     # balanced
+    ((1, 8, 24, 3, 32), 5, False, 32767),     # legacy fallback
+    ((2, 32, 32, 3, 32), 9, True, 32639),     # multi-band (th < H)
+])
+def test_entryf_conv_pool_exact(shape, shift, leaky, wmax):
+    """In-kernel patch-feed fused entry == conv_int16 then darknet
+    maxpool 2x2/s2, bit for bit."""
+    from yolotpu.ops import pool as pool_ops
+    B, H, W, C, N = shape
+    rng = np.random.default_rng(14)
+    xq = rng.integers(-30000, 30000, (B, H, W, C)).astype(np.int16)
+    w = np.minimum(rng.integers(-32768, 32768, (3, 3, C, N)),
+                   wmax).astype(np.int16)
+    if wmax == 32767:
+        w[0, 0, 0, 0] = 32700
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    wp = q16.prep_entryf_weights(w, bias)
+    assert wp["bal"] == (wmax == 32639)
+    th = 4 if H > 16 else None    # force multi-band coverage
+    got = np.asarray(q16.entryf_forward(jnp.asarray(xq), wp, shift, leaky,
+                                        th=th))
+    conv = convops.conv_int16(
+        jnp.asarray(xq), jnp.asarray(w), jnp.asarray(bias), 1, 1,
+        "leaky" if leaky else "linear", shift)
+    want = np.asarray(pool_ops.maxpool(conv, 2, 2, 0))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("vpool", [False, True])
+def test_conv3_flat_planes_modes(vpool):
+    """Plane-in/plane-out (+fused vertical pool half) == int16 kernel +
+    XLA pool, bit for bit."""
+    from yolotpu.ops import pool as pool_ops
+    B, H, W, C, N = 2, 12, 10, 128, 64
+    rng = np.random.default_rng(21)
+    x = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    w = rng.integers(-32768, 32768, (3, 3, C, N)).astype(np.int16)
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    wp = q16.prep_conv_weights(w, bias)
+    planes = q16.split16(jnp.asarray(x))
+    om = "planes_vpool" if vpool else "planes"
+    got = q16.conv3x3_q16_flat(planes, wp, 8, True, interpret=True,
+                               out_mode=om)
+    assert got is not None
+    ref = q16.conv3x3_q16_flat(jnp.asarray(x), wp, 8, True, interpret=True)
+    if vpool:
+        y = np.asarray(q16.hpool2_planes(got, W, out_planes=False))
+        want = np.asarray(pool_ops.maxpool(ref, 2, 2, 0))
+        np.testing.assert_array_equal(y, want[..., :y.shape[-1]])
+    else:
+        y = np.asarray(q16.recombine16(got[0], got[1]))
+        np.testing.assert_array_equal(y, np.asarray(ref))
+
+
+def test_matmul_planes_modes():
+    M, K, N = 96, 128, 64
+    rng = np.random.default_rng(22)
+    x = rng.integers(-32768, 32768, (M, K)).astype(np.int16)
+    w = rng.integers(-32768, 32768, (K, N)).astype(np.int16)
+    bias = rng.integers(-30000, 30000, N).astype(np.int32)
+    wp = q16.prep_matmul_weights(w, bias)
+    ref = np.asarray(q16.matmul_q16_requant(jnp.asarray(x), wp, 7, True,
+                                            out_np=True, interpret=True))
+    planes = q16.split16(jnp.asarray(x))
+    oh, ol = q16.matmul_q16_requant(planes, wp, 7, True, out_np=True,
+                                    interpret=True, out_mode="planes")
+    got = np.asarray(q16.recombine16(oh, ol))
+    np.testing.assert_array_equal(got, ref)

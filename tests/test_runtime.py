@@ -239,3 +239,82 @@ def test_stream_runner_batched_device_nms(tiny_video, tmp_path):
         da = sorted([(d["class_id"], d["prob"]) for d in ra["detections"]])
         db = sorted([(d["class_id"], d["prob"]) for d in rb["detections"]])
         assert da == db
+
+
+def test_stream_flaky_camera_skips_frames(tmp_path, monkeypatch):
+    """Camera mode skips failed reads (main.c:972-974 semantics) instead of
+    treating None as EOF; a bounded run of consecutive failures ends it."""
+    from yolotpu.runtime.engine import Engine, load_or_synthesize
+    from yolotpu.runtime.stream import StreamConfig, StreamRunner
+
+    class FlakySource:
+        """6 frames, with a None (decode failure) before every real one."""
+        def __init__(self):
+            self.n = 0
+        def read(self):
+            self.n += 1
+            if self.n > 12:
+                return None            # then fail forever (dead camera)
+            if self.n % 2 == 1:
+                return None            # transient decode failure
+            return np.full((64, 64, 3), self.n, np.uint8)
+        def close(self):
+            pass
+
+    monkeypatch.setenv("YOLO2_READ_RETRIES", "3")
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = load_or_synthesize(spec, None, "fp32", synthetic=True)
+    eng = Engine(spec, store, precision="fp32", backend="golden")
+    cfg = StreamConfig(max_frames=0, mode="camera", source="/dev/video0",
+                       output_json=str(tmp_path / "d.jsonl"),
+                       labels=[str(i) for i in range(80)])
+    summary = StreamRunner(eng, cfg).run(FlakySource())
+    assert summary["count"] == 6      # every real frame inferred, Nones skipped
+
+    class DeadSource:
+        def read(self):
+            return None
+        def close(self):
+            pass
+
+    summary = StreamRunner(eng, cfg).run(DeadSource())   # budget exhausts
+    assert summary.get("count", 0) == 0
+
+
+def test_watchdog_recovery_redispatch(monkeypatch):
+    """A single hung step recovers via one re-dispatch (the reference's
+    clear-START recovery attempt, yolo2_accel_linux.c:350-377); two
+    consecutive hangs raise."""
+    import time as _time
+    from yolotpu.runtime.engine import Engine, load_or_synthesize
+
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = load_or_synthesize(spec, None, "fp32", synthetic=True)
+    eng = Engine(spec, store, precision="fp32", backend="golden")
+
+    monkeypatch.setenv("YOLO2_LAYER_TIMEOUT_MS", "300")
+    eng._seen_shapes = {("t", (1,))}     # shape already seen: no compile grace
+    eng._guard_pool_init = True
+    import concurrent.futures as cf
+    eng._guard_pool = cf.ThreadPoolExecutor(max_workers=1)
+
+    calls = {"n": 0}
+    def hang_once(x):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            _time.sleep(1.2)
+        return x * 2
+
+    out = eng._guarded(hang_once, np.ones(1), tag="t")
+    assert out[0] == 2 and calls["n"] == 2
+
+    def hang_always(x):
+        _time.sleep(1.2)
+        return x
+
+    eng._seen_shapes.add(("t2", (1,)))
+    try:
+        eng._guarded(hang_always, np.ones(1), tag="t2")
+        raise AssertionError("watchdog did not raise")
+    except TimeoutError as e:
+        assert "twice" in str(e)

@@ -61,6 +61,13 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--stream-mjpeg-fps", type=int, default=15)
     ap.add_argument("--profile", action="store_true",
                     help="per-layer timing table before the run")
+    ap.add_argument("--profile-mode", default="auto",
+                    choices=["auto", "prefix", "layer"],
+                    help="prefix = in-program bisection (the only honest "
+                         "mode for compute=pallas, whose inter-layer glue "
+                         "exists only in-program); layer = isolated "
+                         "segments; auto picks prefix for pallas")
+    ap.add_argument("--profile-batch", type=int, default=8)
     return ap
 
 
@@ -99,8 +106,16 @@ def main(argv: list[str] | None = None) -> int:
                   or [str(i) for i in range(spec.region.classes)])
 
     if args.profile:
-        from ..runtime.profiler import profile_layers
-        rep = profile_layers(spec, store, args.precision, args.compute)
+        from ..runtime.profiler import profile_layers, profile_prefix
+        mode = args.profile_mode
+        if mode == "auto":
+            mode = "prefix" if args.compute == "pallas" else "layer"
+        if mode == "prefix":
+            rep = profile_prefix(spec, store, args.precision, args.compute,
+                                 batch=args.profile_batch, progress=True)
+        else:
+            rep = profile_layers(spec, store, args.precision, args.compute,
+                                 batch=args.profile_batch)
         print(rep.render())
 
     mjpeg_port = mjpeg_bind = None

@@ -156,6 +156,21 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                     whwio.reshape(l.c, l.n), bias_shifted, kp=in_pad)
                 p[f"conv{l.idx}"] = {"kind": "mm", "wp": wp}
                 prev = (l.n, wp["Np"])
+            elif (_Q16_ENTRY == "entryf"
+                  and l.size == 3 and l.stride == 1 and l.c <= 4
+                  and simple_act and l.groups == 1 and darknet_pad
+                  and l.w % 8 == 0 and l.h % 2 == 0
+                  and _next_is_pool22(spec, l.idx)):
+                # fused entry conv+pool with IN-KERNEL patch feed (round 3):
+                # patch rows are assembled inside the kernel from contiguous
+                # sublane slices of an 8-pixel-group layout, so the XLA-side
+                # cost is pad+reshape+split only (entry8's 160 ms 3-lane
+                # concat patch build is gone)
+                wp = q16.prep_entryf_weights(whwio, bias_shifted)
+                p[f"conv{l.idx}"] = {"kind": "entryf", "wp": wp,
+                                     "w": jnp.asarray(whwio),
+                                     "b": jnp.asarray(bias_shifted)}
+                prev = (l.n, l.n)
             elif (_Q16_USE_ENTRY8
                   and l.size == 3 and l.stride == 1 and l.c <= 4
                   and simple_act and l.groups == 1 and darknet_pad
@@ -421,10 +436,28 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
         return jax.lax.with_sharding_constraint(
             v, NamedSharding(mesh, spec_))
 
+    by_idx = {l.idx: l for l in spec.layers}
+
     def forward(params: dict, x: jnp.ndarray) -> dict:
         acts: dict[int, jnp.ndarray] = {}
         all_acts: dict[str, jnp.ndarray] = {}
         skip_pool: set[int] = set()    # pools folded into a fused conv
+        half_pool: dict[int, int] = {}  # pool idx -> pre-pool W (vert half
+        # done in the producing kernel's epilogue; horizontal half left)
+
+        def _consumer_plane_capable(idx: int) -> bool:
+            """True when layer idx+1 consumes (hi, lo) s8 planes directly
+            (plane flow kills the split16/pad glue on kernel->kernel
+            edges — the round-2 reason large-spatial Pallas layers lost
+            in-program)."""
+            nxt = by_idx.get(idx + 1)
+            return (isinstance(nxt, ConvSpec)
+                    and params.get(f"conv{nxt.idx}", {}).get("kind")
+                    in ("mm", "conv3"))
+
+        def _plane_ok(idx: int) -> bool:
+            return (not debug and idx not in needed
+                    and _consumer_plane_capable(idx))
         if x.dtype == jnp.uint8:
             # uint8 frames upload 4x cheaper; /255 on device is bit-identical
             # to the host loader's f32 division (yolo2_image_loader.c:34-80)
@@ -444,14 +477,20 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
             return v if v.shape[-1] == cur_real else v[..., :cur_real]
 
         def flat(v):
-            """Undo spatial lane packing; result carries exact channels."""
+            """Undo spatial lane packing / plane encoding. Packed layouts
+            unpack to exact channels; planes recombine to int16; flat
+            tensors pass through PADDED (activations flow channel-padded
+            between kernels — consumers slice to K/C only when the width
+            matches neither the exact nor padded form)."""
             from ..ops import pallas_q16 as q16
+            if cur_layout == "planes":
+                return q16.recombine16(*v)
             if cur_layout == "p2":
                 return q16.unpack2(v)
             if cur_layout == "hpair":
                 b_, h_, wb_, c2 = v.shape
                 return v.reshape(b_, h_, wb_ * 2, c2 // 2)
-            return exact(v)
+            return v
 
         for l in spec.layers:
             if isinstance(l, ConvSpec):
@@ -469,35 +508,88 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                     shift = plan.conv_shift_out[l.idx]
                     leaky = l.activation == "leaky"
                     kind = pw["kind"]
-                    if (kind == "entry8"
-                            and (debug or l.idx + 1 in needed)):
-                        # per-layer dumps / a route into the pool need the
-                        # unfused intermediate: fall back to the XLA conv
+                    if (kind in ("entry8", "entryf")
+                            and (debug or l.idx in needed)):
+                        # per-layer dumps / a route into the conv's own
+                        # pre-pool output need the unfused intermediate:
+                        # fall back to the XLA conv (the pool output,
+                        # l.idx+1, is correctly produced by the fused path
+                        # at the pool step)
                         kind = "xla_fallback"
-                    if kind == "entry8":
+                    if kind == "entryf":
+                        cur = q16.entryf_forward(exact(cur), pw["wp"],
+                                                 shift, leaky)
+                        skip_pool.add(l.idx + 1)
+                        cur_layout = "flat"
+                    elif kind == "entry8":
                         cur = q16.entry8_forward(exact(cur), pw["wp"],
                                                  shift, leaky)
                         skip_pool.add(l.idx + 1)
                         cur_layout = "flat"
                     elif kind == "mm":
-                        v = flat(cur)
-                        if v.shape[-1] not in (pw["wp"]["K"], pw["wp"]["Kp"]):
-                            v = v[..., :pw["wp"]["K"]]
-                        b_, h_, w_, c_ = v.shape
-                        o = q16.matmul_q16_requant(v.reshape(-1, c_),
-                                                   pw["wp"], shift, leaky,
-                                                   out_np=True)
-                        cur = o.reshape(b_, h_, w_, -1)
-                        cur_layout = "flat"
+                        wpd = pw["wp"]
+                        if cur_layout == "planes":
+                            vh, vl = cur
+                            if vh.shape[-1] not in (wpd["K"], wpd["Kp"]):
+                                vh = vh[..., :wpd["K"]]
+                                vl = vl[..., :wpd["K"]]
+                            b_, h_, w_, c_ = vh.shape
+                            vin = (vh.reshape(-1, c_), vl.reshape(-1, c_))
+                        else:
+                            v = flat(cur)
+                            if v.shape[-1] not in (wpd["K"], wpd["Kp"]):
+                                v = v[..., :wpd["K"]]
+                            b_, h_, w_, c_ = v.shape
+                            vin = v.reshape(-1, c_)
+                        om = "planes" if _plane_ok(l.idx) else "i16"
+                        o = q16.matmul_q16_requant(vin, wpd, shift, leaky,
+                                                   out_np=True, out_mode=om)
+                        if om == "planes":
+                            cur = (o[0].reshape(b_, h_, w_, -1),
+                                   o[1].reshape(b_, h_, w_, -1))
+                            cur_layout = "planes"
+                        else:
+                            cur = o.reshape(b_, h_, w_, -1)
+                            cur_layout = "flat"
                     elif kind == "conv3":
-                        v = flat(cur)
-                        if v.shape[-1] not in (pw["wp"]["C"], pw["wp"]["Cp"]):
-                            v = v[..., :pw["wp"]["C"]]
-                        o = q16.conv3x3_q16_flat(v, pw["wp"], shift, leaky)
-                        cur = (o if o is not None else
-                               q16.conv3x3_q16_requant(v, pw["wp"], shift,
-                                                       leaky, out_np=True))
-                        cur_layout = "flat"
+                        wpd = pw["wp"]
+                        if cur_layout == "planes":
+                            vh, vl = cur
+                            if vh.shape[-1] not in (wpd["C"], wpd["Cp"]):
+                                vh = vh[..., :wpd["C"]]
+                                vl = vl[..., :wpd["C"]]
+                            vin = (vh, vl)
+                        else:
+                            v = flat(cur)
+                            if v.shape[-1] not in (wpd["C"], wpd["Cp"]):
+                                v = v[..., :wpd["C"]]
+                            vin = v
+                        om = "i16"
+                        if not debug and l.idx not in needed:
+                            if _next_is_pool22(spec, l.idx):
+                                om = "planes_vpool"
+                            elif _consumer_plane_capable(l.idx):
+                                om = "planes"
+                        o = q16.conv3x3_q16_flat(vin, wpd, shift, leaky,
+                                                 out_mode=om)
+                        if o is None and om == "planes_vpool":
+                            om = ("planes" if _plane_ok(l.idx) else "i16")
+                            o = q16.conv3x3_q16_flat(vin, wpd, shift, leaky,
+                                                     out_mode=om)
+                        if o is None:
+                            vi16 = (q16.recombine16(*vin)
+                                    if isinstance(vin, tuple) else vin)
+                            cur = q16.conv3x3_q16_requant(
+                                vi16, wpd, shift, leaky, out_np=True)
+                            cur_layout = "flat"
+                        elif om == "planes_vpool":
+                            cur = o
+                            cur_layout = "planes"
+                            half_pool[l.idx + 1] = l.out_w
+                        else:
+                            cur = o
+                            cur_layout = ("planes" if om == "planes"
+                                          else "flat")
                     elif kind == "conv3p2":
                         if cur_layout != "p2":
                             cur = q16.pack2(exact(flat(cur))
@@ -546,6 +638,14 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                 from ..ops import pallas_q16 as q16
                 if l.idx in skip_pool:
                     pass                   # already applied in the producer
+                elif l.idx in half_pool:
+                    # vertical half was folded into the producing kernel's
+                    # epilogue; finish with the fused horizontal half
+                    om_pl = (not debug and l.idx not in needed
+                             and _consumer_plane_capable(l.idx))
+                    cur = q16.hpool2_planes(cur, half_pool[l.idx],
+                                            out_planes=om_pl)
+                    cur_layout = "planes" if om_pl else "flat"
                 elif (cur_layout == "p2" and l.size == 2 and l.stride == 2):
                     # each packed block IS one pool window: lane-group max
                     cur = q16.maxpool2x2_p2(cur)

@@ -90,6 +90,34 @@ def split16(x16: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return xh, xl
 
 
+def recombine16(ph: jnp.ndarray, pl_: jnp.ndarray) -> jnp.ndarray:
+    """(hi, lo) s8 planes -> int16 (inverse of split16; XLA level)."""
+    return ((ph.astype(jnp.int16) << 8)
+            + (pl_.astype(jnp.int16) + 128)).astype(jnp.int16)
+
+
+def pad_planes(planes, pad_spec) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Spatial/channel pad of an (hi, lo) plane pair with ENCODED zeros
+    (hi 0, lo -128) — the plane-flow replacement for padding the int16
+    tensor then re-splitting (two full-tensor passes saved per edge)."""
+    ph, pl_ = planes
+    return (jnp.pad(ph, pad_spec),
+            jnp.pad(pl_, pad_spec, constant_values=-128))
+
+
+def hpool2_planes(planes, W: int, out_planes: bool = True):
+    """Horizontal half of a darknet 2x2/s2 maxpool on a vertically
+    pre-pooled (hi, lo) pair (the conv kernels fold the vertical half into
+    their epilogue — ``out_mode='planes_vpool'``). One fused XLA pass:
+    recombine -> col-pair max -> re-split (or int16 out)."""
+    ph, pl_ = planes
+    b, h2, w, c = ph.shape
+    assert w >= W and W % 2 == 0
+    y = recombine16(ph[:, :, :W], pl_[:, :, :W])
+    y = jnp.max(y.reshape(b, h2, W // 2, 2, c), axis=3)
+    return split16(y) if out_planes else y
+
+
 # ---------------------------------------------------------------------------
 # Weight preparation (numpy, at params-build time)
 # ---------------------------------------------------------------------------
@@ -408,12 +436,9 @@ def conv3x3p2_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
     return out.reshape(B, Hb, Wb, 4 * N)
 
 
-def _convf_kernel(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, o_ref,
-                  xh_s, xl_s, ah, al, rsum, sems, *,
-                  G, th, W2a, Cp, tn, kh, kw, shift_out, leaky, bal):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
+def _convf_prologue(xh_hbm, xl_hbm, xh_s, xl_s, ah, al, rsum, sems,
+                    b, i, j, *, G, th, W2a, Cp, kh, kw, bal):
+    """Shared flat-band load + im2col (runs once per (b, i) at j == 0)."""
     M1 = th * W2a
     FLb = (th + kh - 1) * W2a
 
@@ -461,12 +486,63 @@ def _convf_kernel(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, o_ref,
                        + jnp.sum(al[:].astype(jnp.int32), axis=1,
                                  keepdims=True))
 
+
+def _convf_kernel(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, o_ref,
+                  xh_s, xl_s, ah, al, rsum, sems, *,
+                  G, th, W2a, Cp, tn, kh, kw, shift_out, leaky, bal):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    _convf_prologue(xh_hbm, xl_hbm, xh_s, xl_s, ah, al, rsum, sems,
+                    b, i, j, G=G, th=th, W2a=W2a, Cp=Cp, kh=kh, kw=kw,
+                    bal=bal)
     w2 = w_ref[0]
     acch = jnp.dot(ah[:], w2, preferred_element_type=jnp.int32)
     accl = jnp.dot(al[:], w2, preferred_element_type=jnp.int32)
     acc = _recombine(acch, accl, None if bal else rsum[:],
                      nc_ref[0, 0], tn)
     o_ref[0] = _requant(acc, b_ref[0, 0], shift_out, leaky)
+
+
+def _convf_kernel_pl(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, oh_ref, ol_ref,
+                     xh_s, xl_s, ah, al, rsum, sems, *,
+                     G, th, W2a, Cp, tn, kh, kw, shift_out, leaky, bal,
+                     vpool):
+    """Flat-band conv emitting (hi, lo) s8 PLANES; with ``vpool`` the
+    vertical half of a following 2x2/s2 darknet maxpool is folded into
+    the epilogue (row-pair max on the pre-cast int32 requant values —
+    legal because max commutes with the monotone requant chain and int16
+    max would not legalize in Mosaic anyway)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    _convf_prologue(xh_hbm, xl_hbm, xh_s, xl_s, ah, al, rsum, sems,
+                    b, i, j, G=G, th=th, W2a=W2a, Cp=Cp, kh=kh, kw=kw,
+                    bal=bal)
+    w2 = w_ref[0]
+    acch = jnp.dot(ah[:], w2, preferred_element_type=jnp.int32)
+    accl = jnp.dot(al[:], w2, preferred_element_type=jnp.int32)
+    acc = _recombine(acch, accl, None if bal else rsum[:],
+                     nc_ref[0, 0], tn)
+    v32 = _requant32(acc, b_ref[0, 0], shift_out, leaky)
+    if not vpool:
+        hi, lo = _split32(v32)
+        oh_ref[0] = hi
+        ol_ref[0] = lo
+        return
+    # vertical pool: rows r/r+1 of one image are adjacent W2a-blocks of
+    # the flat rows (G-grouped images stack their rows contiguously)
+    rows = th
+    for g in range(G):
+        base = g * rows * W2a
+        obase = g * (rows // 2) * W2a
+        for a in range(rows // 2):
+            vmax = jnp.maximum(
+                v32[base + (2 * a) * W2a:base + (2 * a + 1) * W2a],
+                v32[base + (2 * a + 1) * W2a:base + (2 * a + 2) * W2a])
+            hi, lo = _split32(vmax)
+            oh_ref[0, obase + a * W2a:obase + (a + 1) * W2a] = hi
+            ol_ref[0, obase + a * W2a:obase + (a + 1) * W2a] = lo
 
 
 def _flat_geometry(B: int, H: int, W: int, Cp: int, K: int, tn: int,
@@ -511,34 +587,54 @@ def _flat_geometry(B: int, H: int, W: int, Cp: int, K: int, tn: int,
     return 1, th, H // th, w2a, H
 
 
-def conv3x3_q16_flat(x: jnp.ndarray, wp: dict, shift_out: int,
-                     leaky: bool, interpret: bool | None = None
-                     ) -> jnp.ndarray | None:
+def conv3x3_q16_flat(x, wp: dict, shift_out: int,
+                     leaky: bool, interpret: bool | None = None,
+                     out_mode: str = "i16"):
     """Flat-band SAME 3x3/s1 conv, exact int16 requant (fast path).
 
     Same contract and wp dict as conv3x3_q16_requant (returns padded-Np
     channels). Returns None when no legal flat geometry exists so the
-    caller can fall back to the banded kernel."""
+    caller can fall back to the banded kernel.
+
+    Plane flow (round 3): ``x`` may be an (hi, lo) s8 plane pair instead
+    of an int16 tensor (skips the XLA-side split16 pass), and ``out_mode``
+    selects the output form:
+      "i16"          — int16 tensor (legacy)
+      "planes"       — (hi, lo) s8 pair (consumer kernels skip their split)
+      "planes_vpool" — (hi, lo) pair with the VERTICAL half of a following
+                       darknet 2x2/s2 maxpool folded into the epilogue
+                       (rows halved; finish with hpool2_planes)
+    """
     if interpret is None:
         interpret = _interpret_default()
-    B, H, W, C = x.shape
+    planes_in = isinstance(x, (tuple, list))
+    B, H, W, C = (x[0] if planes_in else x).shape
     kh, kw = wp["kh"], wp["kw"]
     Cp, np_, tn = wp["Cp"], wp["Np"], wp["tn"]
     assert C in (wp["C"], Cp), (C, wp["C"], Cp)
     if Cp % LANE:
         return None
+    vpool = out_mode == "planes_vpool"
     if C != Cp:
-        x = pad_channels(x, Cp)
+        if planes_in:
+            x = pad_planes(x, [(0, 0)] * 3 + [(0, Cp - C)])
+        else:
+            x = pad_channels(x, Cp)
     K = kh * kw * Cp
     geo = _flat_geometry(B, H, W, Cp, K, tn, kh)
     if geo is None:
         return None
     G, th, nbands, W2a, Hp = geo
+    if vpool and (H % 2 or th % 2):
+        return None                  # caller falls back to unfused pool
     M1 = th * W2a
 
-    xp = jnp.pad(x, ((0, 0), (1, 1 + (Hp - H) + (kh - 3)),
-                     (1, W2a - W - 1), (0, 0)))
-    xh, xl = split16(xp)
+    pad_spec = ((0, 0), (1, 1 + (Hp - H) + (kh - 3)),
+                (1, W2a - W - 1), (0, 0))
+    if planes_in:
+        xh, xl = pad_planes(x, pad_spec)
+    else:
+        xh, xl = split16(jnp.pad(x, pad_spec))
     FL = (Hp + kh - 1) * W2a
     xh = xh.reshape(B, FL, Cp)
     xl = xl.reshape(B, FL, Cp)
@@ -548,44 +644,66 @@ def conv3x3_q16_flat(x: jnp.ndarray, wp: dict, shift_out: int,
         xs_shape = (G, FLs, Cp)
     else:
         xs_shape = (FLs, Cp)
-    out = pl.pallas_call(
-        functools.partial(_convf_kernel, G=G, th=th, W2a=W2a, Cp=Cp, tn=tn,
-                          kh=kh, kw=kw, shift_out=shift_out, leaky=leaky,
-                          bal=wp.get("bal", False)),
-        grid=(B // G, nbands, np_ // tn),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, K, 2 * tn), lambda b, i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tn), lambda b, i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tn), lambda b, i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, G * M1, tn),
-                               lambda b, i, j: (b * nbands + i, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(((B // G) * nbands, G * M1, np_),
-                                       jnp.int16),
-        scratch_shapes=[
-            pltpu.VMEM(xs_shape, jnp.int8),
-            pltpu.VMEM(xs_shape, jnp.int8),
-            pltpu.VMEM((G * M1, K), jnp.int8),
-            pltpu.VMEM((G * M1, K), jnp.int8),
-            pltpu.VMEM((G * M1, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(xh, xl, wp["w2"], wp["nconst"].reshape(np_ // tn, 1, tn),
-      wp["bias"].reshape(np_ // tn, 1, tn))
+    common = dict(G=G, th=th, W2a=W2a, Cp=Cp, tn=tn, kh=kh, kw=kw,
+                  shift_out=shift_out, leaky=leaky,
+                  bal=wp.get("bal", False))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((1, K, 2 * tn), lambda b, i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tn), lambda b, i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tn), lambda b, i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM(xs_shape, jnp.int8),
+        pltpu.VMEM(xs_shape, jnp.int8),
+        pltpu.VMEM((G * M1, K), jnp.int8),
+        pltpu.VMEM((G * M1, K), jnp.int8),
+        pltpu.VMEM((G * M1, 1), jnp.int32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    grid = (B // G, nbands, np_ // tn)
+    args = (xh, xl, wp["w2"], wp["nconst"].reshape(np_ // tn, 1, tn),
+            wp["bias"].reshape(np_ // tn, 1, tn))
+    if out_mode == "i16":
+        out = pl.pallas_call(
+            functools.partial(_convf_kernel, **common),
+            grid=grid, in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, G * M1, tn),
+                                   lambda b, i, j: (b * nbands + i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(((B // G) * nbands, G * M1, np_),
+                                           jnp.int16),
+            scratch_shapes=scratch, interpret=interpret)(*args)
+        if G > 1:
+            out = out.reshape(B, th, W2a, np_)
+        else:
+            out = out.reshape(B, nbands * th, W2a, np_)
+        return out[:, :H, :W]
 
-    # (programs, G*M1, np_) -> (B, Hp, W2a, np_) -> crop garbage rows/cols
+    Mo = G * M1 // (2 if vpool else 1)
+    ospec = pl.BlockSpec((1, Mo, tn), lambda b, i, j: (b * nbands + i, 0, j),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct(((B // G) * nbands, Mo, np_), jnp.int8)
+    oh, ol = pl.pallas_call(
+        functools.partial(_convf_kernel_pl, vpool=vpool, **common),
+        grid=grid, in_specs=in_specs,
+        out_specs=(ospec, ospec), out_shape=(oshape, oshape),
+        scratch_shapes=scratch, interpret=interpret)(*args)
+    Ho = H // 2 if vpool else H
     if G > 1:
-        out = out.reshape(B, th, W2a, np_)
+        oh = oh.reshape(B, th // 2 if vpool else th, W2a, np_)
+        ol = ol.reshape(B, th // 2 if vpool else th, W2a, np_)
     else:
-        out = out.reshape(B, nbands * th, W2a, np_)
-    return out[:, :H, :W]
+        oh = oh.reshape(B, -1, W2a, np_)
+        ol = ol.reshape(B, -1, W2a, np_)
+    if vpool:
+        # garbage cols remain (hpool2_planes crops to W)
+        return oh[:, :Ho], ol[:, :Ho]
+    return oh[:, :H, :W], ol[:, :H, :W]
 
 
 # ---------------------------------------------------------------------------
@@ -740,6 +858,171 @@ def entry8_forward(xq: jnp.ndarray, wp: dict, shift_out: int,
     return o.reshape(B, H // 2, W // 8 * 4, N)
 
 
+def prep_entryf_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray):
+    """w16 (3, 3, C<=4, N) int16 -> dict for entryf_forward (the in-kernel
+    patch-feed fused entry conv+pool).
+
+    Patch rows live in GROUP space: the padded image row is reshaped into
+    groups of 8 pixels x C channels, lane-padded to SLOT=32. The 3x10
+    window of output pixels (r, 8j..8j+7) is then exactly SIX slots of the
+    flattened (row*NG+group, 32) tensor — (dy in 0..2) x (g in 0..1) at
+    flat offsets dy*NG+g — so the kernel assembles patches with contiguous
+    sublane slices at 32-aligned lane offsets (no XLA-side concats: the
+    3-lane-concat patch build is what cost entry8 160 ms in-program).
+
+    K layout: k = (dy*2+g)*32 + (dxi-8g)*C + c for dxi in [8g, 8g+7];
+    dead K positions (u >= 8C, and g=1 taps dxi>9) carry zero weights —
+    exact for any activation under the multi-word identity. Output columns
+    (parity, pooled-col p, n): col = parity*4N + p*N + n, output pixel
+    s = 2p + parity, taps with dc = dxi-1-s in {-1,0,1} (same column
+    layout as prep_entry8_weights, so the horizontal pool half is the
+    lane-tile-aligned max of the two parity halves)."""
+    kh, kw, C, N = w16_hwio.shape
+    assert (kh, kw) == (3, 3) and C <= 4
+    SLOT = 32
+    K = 6 * SLOT
+    w32 = np.zeros((K, 8 * N), np.int32)
+    for dy in range(3):
+        for dxi in range(10):
+            g = dxi // 8
+            k0 = (dy * 2 + g) * SLOT + (dxi - 8 * g) * C
+            for s in range(8):
+                dc = dxi - 1 - s
+                if -1 <= dc <= 1:
+                    parity, p = s % 2, s // 2
+                    col = parity * 4 * N + p * N
+                    w32[k0:k0 + C, col:col + N] = \
+                        w16_hwio[dy, dc + 1].astype(np.int32)
+    hi, lo, bal = _split_w_np(w32)
+    w2 = np.concatenate([hi, lo], axis=1)          # (192, 16N)
+    nconst = _nconst_np(w32, hi, lo, bal, K, axis=0)   # (8N,)
+    bias4 = np.tile(bias_shifted.astype(np.int32), 4)  # (4N,)
+    return {"w2": jnp.asarray(w2), "nconst": jnp.asarray(nconst),
+            "bias": jnp.asarray(bias4), "N": N, "C": C, "K": K,
+            "bal": bal}
+
+
+def _entryf_kernel(bh, bl, w_ref, nc_ref, b_ref, o_ref,
+                   ah, al, ystore, *,
+                   th, NG, shift_out, leaky, bal, n4):
+    SLOT = 32
+    M1 = th * NG
+    # patch assembly: six contiguous sublane slices per plane (the band
+    # arrives as a BlockSpec-pipelined VMEM block — a 32-lane HBM array
+    # cannot be manually DMA'd, so overlapping bands are materialized at
+    # the XLA level instead, ~1.06x replication)
+    for dy in range(3):
+        for g in range(2):
+            slot = dy * 2 + g
+            off = dy * NG + g
+            ah[:, slot * SLOT:(slot + 1) * SLOT] = bh[0, 0, off:off + M1]
+            al[:, slot * SLOT:(slot + 1) * SLOT] = bl[0, 0, off:off + M1]
+    w2 = w_ref[:]
+    acch = jnp.dot(ah[:], w2, preferred_element_type=jnp.int32)
+    accl = jnp.dot(al[:], w2, preferred_element_type=jnp.int32)
+    if bal:
+        rs = None
+    else:
+        rs = ((jnp.sum(ah[:].astype(jnp.int32), axis=1, keepdims=True) << 8)
+              + jnp.sum(al[:].astype(jnp.int32), axis=1, keepdims=True))
+    acc = _recombine(acch, accl, rs, nc_ref[0], 2 * n4)
+    # horizontal pool half on the int32 accumulator (parity halves are
+    # lane-tile aligned; max commutes with the monotone requant chain)
+    v32 = jnp.maximum(acc[:, :n4], acc[:, n4:])
+    # requant stays int32 end-to-end: the vertical pool max below would
+    # not legalize as an int16 Mosaic op
+    ystore[:] = _requant32(v32, b_ref[0], shift_out, leaky)
+    # vertical pool half: output rows r/r+1 are M-adjacent NG-row blocks
+    for a in range(th // 2):
+        o_ref[0, a * NG:(a + 1) * NG] = jnp.maximum(
+            ystore[(2 * a) * NG:(2 * a + 1) * NG],
+            ystore[(2 * a + 1) * NG:(2 * a + 2) * NG]).astype(jnp.int16)
+
+
+def entryf_forward(xq: jnp.ndarray, wp: dict, shift_out: int,
+                   leaky: bool, th: int | None = None,
+                   interpret: bool | None = None) -> jnp.ndarray:
+    """Fully fused entry stage with IN-KERNEL patch feed: quantized image
+    (B, H, W, C<=4) int16 -> (B, H/2, W/2, N) int16 (3x3/s1 SAME conv +
+    2x2/s2 maxpool + exact requant, one kernel).
+
+    XLA-side prep is pad+reshape+split only (~3 cheap passes over the
+    small image tensor); the 30-tap patch matrix is assembled inside the
+    kernel from contiguous sublane slices (see prep_entryf_weights).
+    Replaces the two separate reference engine launches for conv0+pool0
+    (yolo2_accel.cpp:127-168, core_compute.cpp:266-305)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B, H, W, C = xq.shape
+    N = wp["N"]
+    SLOT = 32
+    assert C == wp["C"] and W % 8 == 0 and H % 2 == 0
+    NG = W // 8 + 2
+    n4 = 4 * N
+    # pad rows/cols, fold pixels into 8-pixel groups, lane-pad to SLOT
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 8 * NG - W - 1), (0, 0)))
+    xv = xp.reshape(B, H + 2, NG, 8 * C)
+    if 8 * C < SLOT:
+        xv = jnp.pad(xv, ((0, 0), (0, 0), (0, 0), (0, SLOT - 8 * C)))
+    xh, xl = split16(xv)
+    FL = (H + 2) * NG
+    xh = xh.reshape(B, FL, SLOT)
+    xl = xl.reshape(B, FL, SLOT)
+
+    if th is None:
+        # dominant VMEM: dot-pair stack temps 8*M1*16N + abuf 2*M1*256
+        th = H
+        while th > 2 and (H % th or th % 2
+                          or th * NG * (16 * n4 + 1024) > (9 << 20)):
+            th -= 2
+    assert H % th == 0 and th % 2 == 0, (H, W, th)
+    M1 = th * NG
+    nbands = H // th
+    FLs = _round_up((th + 2) * NG + 1, 8)
+    tail = max(0, (nbands - 1) * M1 + FLs - FL)
+    if tail:
+        xh = jnp.pad(xh, ((0, 0), (0, tail), (0, 0)))
+        xl = jnp.pad(xl, ((0, 0), (0, tail), (0, 0)), constant_values=-128)
+    # overlapping band stack (halo 2*NG+pad rows, ~1.06x replication):
+    # aligned row slices + one non-lane-dim concat, cheap at XLA level
+    xbh = jnp.stack([xh[:, i * M1:i * M1 + FLs] for i in range(nbands)], 1)
+    xbl = jnp.stack([xl[:, i * M1:i * M1 + FLs] for i in range(nbands)], 1)
+
+    out = pl.pallas_call(
+        functools.partial(_entryf_kernel, th=th, NG=NG,
+                          shift_out=shift_out, leaky=leaky,
+                          bal=wp.get("bal", False), n4=n4),
+        grid=(B, nbands),
+        in_specs=[
+            pl.BlockSpec((1, 1, FLs, SLOT), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, FLs, SLOT), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp["K"], 16 * N), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * N), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * N), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M1 // 2, n4),
+                               lambda b, i: (b * nbands + i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nbands, M1 // 2, n4),
+                                       jnp.int16),
+        scratch_shapes=[
+            pltpu.VMEM((M1, 6 * SLOT), jnp.int8),
+            pltpu.VMEM((M1, 6 * SLOT), jnp.int8),
+            pltpu.VMEM((M1, n4), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xbh, xbl, wp["w2"], wp["nconst"].reshape(1, 8 * N),
+      wp["bias"].reshape(1, 4 * N))
+    # (B*nbands, th/2*NG, 4N) -> (B, H/2, NG, 4, N) -> crop pad groups
+    out = out.reshape(B, H // 2, NG, 4, N)
+    return out[:, :, :W // 8].reshape(B, H // 2, W // 2, N)
+
+
 def _convp2f_kernel(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, o_ref,
                     xh_s, xl_s, ah, al, ystore, sems, *,
                     th, W1a, C4, N, shift_out, leaky, bal):
@@ -872,7 +1155,10 @@ def _recombine(acch, accl, rsum, nconst, tn):
     return acc + nconst[None, :]
 
 
-def _requant(acc, bias, shift_out: int, leaky: bool):
+def _requant32(acc, bias, shift_out: int, leaky: bool):
+    """Requant chain kept in int32 (shift, bias, saturate, integer leaky) —
+    callers cast to int16 or split to s8 planes (int32 shifts ARE
+    Mosaic-legal, unlike int16)."""
     if shift_out > 0:
         mag = min(shift_out, 30)
         acc = (acc + (1 << (mag - 1))) >> mag
@@ -881,7 +1167,19 @@ def _requant(acc, bias, shift_out: int, leaky: bool):
     v = jnp.clip(acc + bias[None, :], -32768, 32767)
     if leaky:
         v = jnp.clip(jnp.where(v < 0, -((-v) // 10), v), -32768, 32767)
-    return v.astype(jnp.int16)
+    return v
+
+
+def _requant(acc, bias, shift_out: int, leaky: bool):
+    return _requant32(acc, bias, shift_out, leaky).astype(jnp.int16)
+
+
+def _split32(v32):
+    """int32 in int16 range -> (hi, lo) s8 plane values (in-kernel form of
+    split16: the encoded planes of the value, computed before any int16
+    cast so Mosaic only sees int32 shifts)."""
+    return ((v32 >> 8).astype(jnp.int8),
+            ((v32 & 0xFF) - 128).astype(jnp.int8))
 
 
 # ---------------------------------------------------------------------------
@@ -913,20 +1211,58 @@ def _mm_kernel(xh_ref, xl_ref, w_ref, nconst_ref, bias_ref, o_ref,
         o_ref[:] = _requant(acc, bias_ref[0, 0], shift_out, leaky)
 
 
-def matmul_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
+def _mm_kernel_pl(xh_ref, xl_ref, w_ref, nconst_ref, bias_ref,
+                  oh_ref, ol_ref,
+                  acch, accl, rsum, *, ksteps, tn, shift_out, leaky, bal):
+    """matmul kernel emitting (hi, lo) s8 planes."""
+    @pl.when(pl.program_id(2) == 0)
+    def _zero():
+        acch[:] = jnp.zeros_like(acch)
+        accl[:] = jnp.zeros_like(accl)
+        if not bal:
+            rsum[:] = jnp.zeros_like(rsum)
+
+    xh, xl = xh_ref[:], xl_ref[:]
+    w2 = w_ref[:]
+    acch[:] += jnp.dot(xh, w2, preferred_element_type=jnp.int32)
+    accl[:] += jnp.dot(xl, w2, preferred_element_type=jnp.int32)
+    if not bal:
+        rsum[:] += ((jnp.sum(xh.astype(jnp.int32), axis=1,
+                             keepdims=True) << 8)
+                    + jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True))
+
+    @pl.when(pl.program_id(2) == ksteps - 1)
+    def _epi():
+        acc = _recombine(acch[:], accl[:], None if bal else rsum[:],
+                         nconst_ref[0, 0], tn)
+        v32 = _requant32(acc, bias_ref[0, 0], shift_out, leaky)
+        hi, lo = _split32(v32)
+        oh_ref[:] = hi
+        ol_ref[:] = lo
+
+
+def matmul_q16_requant(x, wp: dict, shift_out: int,
                        leaky: bool, out_np: bool = False,
-                       interpret: bool | None = None) -> jnp.ndarray:
+                       interpret: bool | None = None,
+                       out_mode: str = "i16"):
     """x (M, K) int16 @ prepared weights -> (M, Np or N) int16, fused
     exact requant. K may be the real K or the padded Kp (channel-padded
     callers). With ``out_np`` the padded Np columns are kept (zero-bias pad
-    channels) so downstream kernels see a lane-aligned tensor."""
+    channels) so downstream kernels see a lane-aligned tensor.
+
+    Plane flow: ``x`` may be an (hi, lo) s8 pair (skips the split16 pass);
+    ``out_mode='planes'`` returns an (hi, lo) pair (always padded Np)."""
     if interpret is None:
         interpret = _interpret_default()
-    M, K = x.shape
+    planes_in = isinstance(x, (tuple, list))
+    M, K = (x[0] if planes_in else x).shape
     kp, np_, tn = wp["Kp"], wp["Np"], wp["tn"]
     assert K in (wp["K"], kp), (K, wp["K"], kp)
     if K != kp:
-        x = jnp.pad(x, ((0, 0), (0, kp - K)))   # int16 0 == encoded zero
+        if planes_in:
+            x = pad_planes(x, ((0, 0), (0, kp - K)))
+        else:
+            x = jnp.pad(x, ((0, 0), (0, kp - K)))  # int16 0 == encoded zero
     # M-tile: small-K programs are overhead-bound — grow tm to the VMEM
     # budget (acc pair 8*tm*tn + inputs 2*tm*tk bytes)
     budget = 8 << 20
@@ -938,7 +1274,10 @@ def matmul_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
         tm = pref     # no good divisor: pad M rather than run 32-row tiles
     pad_m = (-M) % tm
     if pad_m:
-        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+        if planes_in:
+            x = pad_planes(x, ((0, pad_m), (0, 0)))
+        else:
+            x = jnp.pad(x, ((0, pad_m), (0, 0)))
     Mp = M + pad_m
     # K blocks are the x operand's lane dim: either the full (possibly
     # sub-128) kp, or a multiple of 128 (prep rounds kp to 128 when
@@ -946,36 +1285,50 @@ def matmul_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
     tk = kp if kp <= 1024 else _pick_tile(kp, 1024, 128)
     ksteps = kp // tk
 
-    xh, xl = split16(x)
+    xh, xl = x if planes_in else split16(x)
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tk, 2 * tn), lambda i, j, k: (k, j),
+                     memory_space=pltpu.VMEM),
+        # 1-D operands blocked below full size hit an XLA/Mosaic layout
+        # mismatch (T(np_) vs T(tn)); feed the epilogue tables as 2-D
+        # (np_//tn, tn) rows instead
+        pl.BlockSpec((1, 1, tn), lambda i, j, k: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tn), lambda i, j, k: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [pltpu.VMEM((tm, 2 * tn), jnp.int32),
+               pltpu.VMEM((tm, 2 * tn), jnp.int32),
+               pltpu.VMEM((tm, 1), jnp.int32)]
+    grid = (Mp // tm, np_ // tn, ksteps)
+    args = (xh, xl, wp["w2"], wp["nconst"].reshape(np_ // tn, 1, tn),
+            wp["bias"].reshape(np_ // tn, 1, tn))
+    common = dict(ksteps=ksteps, tn=tn, shift_out=shift_out, leaky=leaky,
+                  bal=wp.get("bal", False))
+    if out_mode == "planes":
+        ospec = pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
+                             memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((Mp, np_), jnp.int8)
+        oh, ol = pl.pallas_call(
+            functools.partial(_mm_kernel_pl, **common),
+            grid=grid, in_specs=in_specs,
+            out_specs=(ospec, ospec), out_shape=(oshape, oshape),
+            scratch_shapes=scratch, interpret=interpret)(*args)
+        if pad_m:
+            oh, ol = oh[:M], ol[:M]
+        return oh, ol
     out = pl.pallas_call(
-        functools.partial(_mm_kernel, ksteps=ksteps, tn=tn,
-                          shift_out=shift_out, leaky=leaky,
-                          bal=wp.get("bal", False)),
-        grid=(Mp // tm, np_ // tn, ksteps),
-        in_specs=[
-            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, 2 * tn), lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-            # 1-D operands blocked below full size hit an XLA/Mosaic layout
-            # mismatch (T(np_) vs T(tn)); feed the epilogue tables as 2-D
-            # (np_//tn, tn) rows instead
-            pl.BlockSpec((1, 1, tn), lambda i, j, k: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tn), lambda i, j, k: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        functools.partial(_mm_kernel, **common),
+        grid=grid, in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, np_), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((tm, 2 * tn), jnp.int32),
-                        pltpu.VMEM((tm, 2 * tn), jnp.int32),
-                        pltpu.VMEM((tm, 1), jnp.int32)],
-        interpret=interpret,
-    )(xh, xl, wp["w2"], wp["nconst"].reshape(np_ // tn, 1, tn),
-      wp["bias"].reshape(np_ // tn, 1, tn))
+        scratch_shapes=scratch, interpret=interpret,
+    )(*args)
     out = out[:M] if pad_m else out
     if out_np or np_ == wp["N"]:
         return out

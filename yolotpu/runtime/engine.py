@@ -122,9 +122,26 @@ class Engine:
         try:
             out = fut.result(timeout=ms / 1000.0)
         except concurrent.futures.TimeoutError:
-            raise TimeoutError(
-                f"inference exceeded YOLO2_LAYER_TIMEOUT_MS={ms:.0f} ms "
-                "(watchdog)")
+            # Recovery attempt before giving up, mirroring the reference
+            # driver's timeout path (clear START, decode status, resume —
+            # yolo2_accel_linux.c:350-377): re-dispatch the step ONCE on a
+            # fresh worker with a fresh deadline. A transient device-queue
+            # stall (e.g. a tunnel hiccup) clears; a truly hung program
+            # times out again and raises. The stuck worker thread is
+            # abandoned (daemon pool) — its eventual result is discarded.
+            ylog.info("watchdog: inference exceeded "
+                      f"{ms:.0f} ms; attempting one re-dispatch "
+                      "(yolo2_accel_linux.c:350-377 analog)")
+            self._guard_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1)
+            retry = self._guard_pool.submit(fn, *args)
+            try:
+                out = retry.result(timeout=ms / 1000.0)
+            except concurrent.futures.TimeoutError:
+                raise TimeoutError(
+                    f"inference exceeded YOLO2_LAYER_TIMEOUT_MS={ms:.0f} ms "
+                    "twice (watchdog; recovery re-dispatch also timed out)")
+            ylog.info("watchdog: recovery re-dispatch succeeded")
         self._seen_shapes.add(key)
         return out
 

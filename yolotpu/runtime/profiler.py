@@ -166,6 +166,104 @@ def profile_layers(spec: NetworkSpec, store, precision: str = "fp32",
     return report
 
 
+def profile_prefix(spec: NetworkSpec, store, precision: str = "int16",
+                   compute: str = "pallas", batch: int = 8,
+                   chain: int = 8, rng_seed: int = 0,
+                   progress: bool = False) -> ProfileReport:
+    """IN-PROGRAM per-layer cost via prefix bisection (production mix).
+
+    ``profile_layers`` times each layer as an isolated jitted segment —
+    honest for the int32/fp32 tiers, but it misreads the hybrid pallas
+    tier, whose per-layer glue (plane split, channel pad, crop) exists
+    only in-program and whose kernels fuse differently under XLA's
+    scheduler. Here layer i's cost is time(prefix i+1) - time(prefix i),
+    each prefix being the REAL ``build_forward`` program truncated after
+    layer i — the shipped form of the round-2/3 bisection harness
+    (tools/probe_layer.py ``prefix:``), and the analog of the reference's
+    built-in per-layer µs report (yolo2_inference.c:75-142).
+
+    Compiles one program per layer; with the persistent compile cache
+    warm this is minutes, cold it can be much longer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import yolov2 as m
+
+    rng = np.random.default_rng(rng_seed)
+    report = ProfileReport()
+
+    def _floor_ms() -> float:
+        f = jax.jit(lambda v: v + 1.0)
+        _ = float(f(jnp.float32(0.0)))
+        ts = []
+        for _i in range(5):
+            t0 = time.perf_counter()
+            _ = float(f(jnp.float32(0.0)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) * 1e3
+
+    floor_ms = _floor_ms()
+    x = jnp.asarray(rng.random(
+        (batch, spec.net.height, spec.net.width, spec.net.channels),
+        dtype=np.float32))
+    xs = [x + jnp.float32(i) * jnp.float32(1e-6) for i in range(chain)]
+
+    def _time_prefix(n: int) -> float:
+        pspec = NetworkSpec(net=spec.net, layers=spec.layers[:n])
+        if precision == "int16":
+            params = (m.params_q16(pspec, store) if compute == "pallas"
+                      else m.params_int16(pspec, store))
+            fwd = m.build_forward(pspec, "int16", store.qtables,
+                                  compute=compute, outputs=("head",))
+        elif precision == "int8":
+            params = m.params_int8(pspec, store)
+            fwd = m.build_forward(pspec, "int8", store.qtables8,
+                                  compute=compute, outputs=("head",))
+        else:
+            params = m.params_fp32(pspec, store)
+            fwd = m.build_forward(pspec, "fp32", outputs=("head",))
+        fn = jax.jit(lambda v: fwd(params, v)["head"])
+        _ = float(jnp.sum(fn(xs[0]).astype(jnp.float32)))   # compile + warm
+
+        def run_all():
+            tot = None
+            for xi in xs:
+                s = jnp.sum(fn(xi).astype(jnp.float32))
+                tot = s if tot is None else tot + s
+            return float(tot)
+
+        _ = run_all()
+        ts = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            _ = run_all()
+            ts.append(time.perf_counter() - t0)
+        return max(0.0, (float(np.median(ts)) * 1e3 - floor_ms) / chain)
+
+    kinds: dict[int, str] = {}
+    if precision == "int16" and compute == "pallas":
+        pp = m.params_q16(spec, store)
+        kinds = {l.idx: pp[f"conv{l.idx}"].get("kind", "?")
+                 for l in spec.conv_layers()}
+
+    prev = 0.0
+    for n, l in enumerate(spec.layers, start=1):
+        cur = _time_prefix(n)
+        ms = max(0.0, cur - prev)
+        detail = ""
+        if isinstance(l, ConvSpec):
+            detail = (f"{l.size}x{l.size}/{l.stride} {l.c}->{l.n}"
+                      + (f" [{kinds[l.idx]}]" if l.idx in kinds else ""))
+        report.timings.append(LayerTiming(l.idx, l.type, ms, detail))
+        if progress:
+            print(f"  prefix {n:2d} {l.type:14s} cum {cur:8.3f} ms  "
+                  f"+{ms:7.3f}  {detail}", flush=True)
+        prev = cur
+    report.total_ms = prev
+    return report
+
+
 class StepTimer:
     """End-to-end step latency collector -> p50/p90/mean/fps (the metrics
     the reference's report tool extracts from 'inference time:' log lines,

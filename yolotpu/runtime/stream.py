@@ -73,6 +73,29 @@ class StreamRunner:
             ylog.info(f"MJPEG stream on http://{cfg.mjpeg_bind}:{self._mjpeg.port}/")
 
     # ------------------------------------------------------------------
+    def _read_frame(self, frame_source):
+        """Mode-aware frame read. In camera mode a failed read is a
+        transient decode/driver hiccup — skip it and keep streaming, like
+        the board app (main.c:972-974 continues on decode failure) — up to
+        a bounded consecutive-failure budget (env YOLO2_READ_RETRIES,
+        default 30) treated as a dead camera. In video/image modes a None
+        read is EOF (main.c:1135-1141) and ends the stream."""
+        frame = frame_source.read()
+        if frame is not None or self.cfg.mode != "camera":
+            return frame
+        try:
+            budget = int(os.environ.get("YOLO2_READ_RETRIES", "30"))
+        except ValueError:
+            budget = 30
+        for attempt in range(budget):
+            ylog.debug(f"camera read failed; skipping frame "
+                       f"(retry {attempt + 1}/{budget})")
+            frame = frame_source.read()
+            if frame is not None:
+                return frame
+        ylog.info(f"camera: {budget} consecutive failed reads; stopping")
+        return None
+
     def run(self, frame_source) -> dict:
         """Consume HWC uint8 RGB frames from ``frame_source.read()`` until
         EOF or max_frames inferences. Returns the timing summary."""
@@ -87,7 +110,7 @@ class StreamRunner:
         deadline_ms = _watchdog_ms()
 
         while True:
-            frame = frame_source.read()
+            frame = self._read_frame(frame_source)
             if frame is None:
                 break
             frame_idx += 1
@@ -145,7 +168,7 @@ class StreamRunner:
             nonlocal frame_idx, submitted
             frames, chws, idxs = [], [], []
             while len(frames) < cfg.batch_size:
-                frame = frame_source.read()
+                frame = self._read_frame(frame_source)
                 if frame is None:
                     break
                 frame_idx += 1
