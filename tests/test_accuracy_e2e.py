@@ -183,3 +183,24 @@ def test_fp32_learns_and_int16_matches(trained):
     # BASELINE criterion: int16 within 0.1 mAP of fp32
     assert abs(r32["mAP_50"] - r16["mAP_50"]) <= 0.1, (r32, r16)
     assert r16["mAP_50"] > 0.25, r16
+
+
+def test_pallas_tier_map_identical_to_int16(trained):
+    """The exact-int16 Pallas tier is bit-identical to the int32 tier, so
+    its detections — and therefore mAP — must match EXACTLY (VERDICT r2
+    item 7: |mAP(pallas) - mAP(int16)| = 0)."""
+    spec, store, pairs = trained
+    from yolotpu.image import load_image
+    calib = [np.full((3, 96, 96), 0.5, np.float32),
+             load_image(pairs[0][0])]
+    act_q = calibrate_activations(spec, store, calib)
+    quantize_weights(store, act_q)
+
+    eng16 = Engine(spec, store, precision="int16", backend="xla",
+                   compute="int32")
+    r16 = yeval.evaluate_engine(eng16, pairs, num_classes=2, thresh=0.05)
+    engp = Engine(spec, store, precision="int16", backend="xla",
+                  compute="pallas")
+    rp = yeval.evaluate_engine(engp, pairs, num_classes=2, thresh=0.05)
+    assert rp["mAP_50"] == r16["mAP_50"], (rp, r16)
+    assert rp["images"] == r16["images"] == 8

@@ -212,3 +212,63 @@ def test_dp_sharded_inference_matches_single_device():
         is_leaf=lambda a: not isinstance(a, dict))
     got = np.asarray(fn(ps, xs))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_tp_sharded_int16_inference_bitexact():
+    """Conv-Cout tp-sharded int16 inference == replicated, BIT for bit
+    (int32-accum convs are deterministic; GSPMD inserts the channel
+    all-gathers; VERDICT r2 item 5a)."""
+    from yolotpu.quant import calibrate_activations, quantize_weights
+
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    rng = np.random.default_rng(5)
+    calib = [rng.random((3, 64, 64)).astype(np.float32)]
+    act_q = calibrate_activations(spec, store, calib)
+    quantize_weights(store, act_q)
+    mesh = pmesh.make_mesh(8)
+    params = m.params_int16(spec, store)
+    fwd = m.build_forward(spec, "int16", store.qtables, compute="int32",
+                          outputs=("head",), mesh=mesh)
+    fn = jax.jit(lambda p, x: fwd(p, x)["head"])
+
+    x = jnp.asarray(rng.random((8, 64, 64, 3), dtype=np.float32))
+    xs = jax.device_put(x, pmesh.batch_sharding(mesh))
+    p_repl = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, pmesh.replicated(mesh)), params)
+    want = np.asarray(fn(p_repl, xs))
+    p_tp = pmesh.shard_params(params, mesh)
+    # at least one conv must actually shard on Cout for this to test tp
+    shardings = pmesh.param_shardings(params, mesh)
+    assert any(s["w"].spec == jax.sharding.PartitionSpec(
+        None, None, None, "tp") for s in shardings.values())
+    got = np.asarray(fn(p_tp, xs))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_q16_kernel_under_shard_map():
+    """A q16 Pallas kernel runs under a (dp, tp) mesh via shard_map over
+    the batch rows, bit-equal to unsharded (VERDICT r2 item 5b)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from yolotpu.ops import pallas_q16 as q16
+
+    mesh = pmesh.make_mesh(8)
+    rng = np.random.default_rng(7)
+    M, K, N = 64, 96, 64
+    xq = rng.integers(-32768, 32768, (M, K)).astype(np.int16)
+    w16 = rng.integers(-32768, 32640, (K, N)).astype(np.int16)
+    bq = rng.integers(-20000, 20000, N).astype(np.int32)
+    wp = q16.prep_matmul_weights(w16, bq)
+
+    def piece(v):
+        return q16.matmul_q16_requant(v, wp, 7, True, out_np=True,
+                                      interpret=True)
+
+    pfn = jax.jit(shard_map(piece, mesh=mesh,
+                            in_specs=P(("dp", "tp"), None),
+                            out_specs=P(("dp", "tp"), None),
+                            check_rep=False))
+    got = np.asarray(pfn(jnp.asarray(xq)))
+    want = np.asarray(piece(jnp.asarray(xq)))
+    np.testing.assert_array_equal(got, want)

@@ -10,7 +10,7 @@ allocation). Usage:
     python tools/probe_layer.py e2e:int32 [batch]
     python tools/probe_layer.py pool:tiny [batch]     # overlapping s1 maxpool
 
-Timing mirrors tools/bench_q16e2e.py: warm, then median of 3 x 5 dispatches
+Timing: warm, then median of 3 x 5 dispatches
 with one scalar readback (the tunnel's block_until_ready returns early), RPC
 floor subtracted.
 """

@@ -2,7 +2,7 @@
 
 The v5e MXU runs s8xs8->s32 natively (~394 TOPS peak); XLA's s16 convs top
 out around 45 TOPS on the YOLOv2 shapes and collapse to 1-15 at the early
-layers (measured round 2, tools/bench_r2micro.py). Mosaic cannot compile
+layers (measured round 2; harness now tools/probe_layer.py). Mosaic cannot compile
 s16 dots at all. This module therefore computes the exact s16xs16->s32
 accumulation as multi-word arithmetic on s8 dots:
 
@@ -23,7 +23,7 @@ XLA path and the numpy golden already rely on, so the tier stays bit-exact
 
 The hi/lo weight planes are concatenated along N, so each K step issues TWO
 s8 dots of width 2N ("dec2", 334 raw TOPS at matmul geometry). Hardware
-lessons baked in (tools/bench_q16bisect.py / bench_q16v3.py):
+lessons baked in (measured round 2; harness now tools/probe_layer.py):
   - outputs are written FLAT (rows, N) — a ragged (th, W, N) block reshape
     relayouts every store and halves throughput (int16 worse than int8);
   - no dimension_semantics (it cost ~20%);
