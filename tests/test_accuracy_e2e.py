@@ -167,7 +167,8 @@ def test_fp32_learns_and_int16_matches(trained):
                                 thresh=0.05)
     assert r32["images"] == 8
     # the task is near-trivial; trained fp32 must actually detect
-    assert r32["mAP_50"] > 0.3, r32
+    # (nontrivial-mAP criterion: measured 0.539 deterministic at seed 3)
+    assert r32["mAP_50"] >= 0.5, r32
 
     calib = [s[0].astype(np.float32).transpose(2, 0, 1) / 255.0
              for s in [(np.full((96, 96, 3), 128, np.uint8),)]]
@@ -182,7 +183,7 @@ def test_fp32_learns_and_int16_matches(trained):
 
     # BASELINE criterion: int16 within 0.1 mAP of fp32
     assert abs(r32["mAP_50"] - r16["mAP_50"]) <= 0.1, (r32, r16)
-    assert r16["mAP_50"] > 0.25, r16
+    assert r16["mAP_50"] > 0.4, r16
 
 
 def test_pallas_tier_map_identical_to_int16(trained):

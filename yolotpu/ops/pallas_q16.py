@@ -191,6 +191,7 @@ def prep_matmul_weights(w16: np.ndarray, bias_shifted: np.ndarray,
 import os as _os
 _CONV_W_BUDGET = int(_os.environ.get("YOLO2_Q16_CONV_W_BUDGET",
                                      str(4 << 20)))
+_FLAT_M_TARGET = int(_os.environ.get("YOLO2_Q16_FLAT_M", "8192"))
 
 
 def prep_conv_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray,
@@ -566,8 +567,9 @@ def _flat_geometry(B: int, H: int, W: int, Cp: int, K: int, tn: int,
                 + 16 * g * m1 * tn)
 
     # whole image per program (any H), grouping G images when small
+    # (YOLO2_Q16_FLAT_M targets rows/program for the grouped dots)
     if vmem(1, H, W2a8) <= budget:
-        G = max(1, min(B, 8192 // max(1, H * W2a8)))
+        G = max(1, min(B, _FLAT_M_TARGET // max(1, H * W2a8)))
         while B % G or (G > 1 and vmem(G, H, W2a8) > budget):
             G -= 1
         return G, H, 1, W2a8, H
@@ -902,21 +904,35 @@ def prep_entryf_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray):
             "bal": bal}
 
 
-def _entryf_kernel(bh, bl, w_ref, nc_ref, b_ref, o_ref,
-                   ah, al, ystore, *,
-                   th, NG, shift_out, leaky, bal, n4):
+def _entryf_kernel(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, o_ref,
+                   bh, bl, ah, al, ystore, sems, *,
+                   th, NG, flb, shift_out, leaky, bal, n4):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     SLOT = 32
     M1 = th * NG
-    # patch assembly: six contiguous sublane slices per plane (the band
-    # arrives as a BlockSpec-pipelined VMEM block — a 32-lane HBM array
-    # cannot be manually DMA'd, so overlapping bands are materialized at
-    # the XLA level instead, ~1.06x replication)
+    # group rows are lane-padded to 128 at the XLA level: sub-128-lane
+    # HBM tiles both forbid manual DMA and relayout on every access (the
+    # 32-lane BlockSpec variant measured 2x SLOWER than the XLA entry);
+    # dense 128-lane rows DMA at full rate and cost only pad bytes
+    c1 = pltpu.make_async_copy(xh_hbm.at[b, pl.ds(i * M1, flb)],
+                               bh.at[pl.ds(0, flb)], sems.at[0])
+    c2 = pltpu.make_async_copy(xl_hbm.at[b, pl.ds(i * M1, flb)],
+                               bl.at[pl.ds(0, flb)], sems.at[1])
+    c1.start()
+    c2.start()
+    c1.wait()
+    c2.wait()
+    # patch assembly: six contiguous sublane slices per plane (first 32
+    # of 128 lanes carry the real 8-pixel group)
     for dy in range(3):
         for g in range(2):
             slot = dy * 2 + g
             off = dy * NG + g
-            ah[:, slot * SLOT:(slot + 1) * SLOT] = bh[0, 0, off:off + M1]
-            al[:, slot * SLOT:(slot + 1) * SLOT] = bl[0, 0, off:off + M1]
+            ah[:, slot * SLOT:(slot + 1) * SLOT] = \
+                bh[off:off + M1, 0:SLOT]
+            al[:, slot * SLOT:(slot + 1) * SLOT] = \
+                bl[off:off + M1, 0:SLOT]
     w2 = w_ref[:]
     acch = jnp.dot(ah[:], w2, preferred_element_type=jnp.int32)
     accl = jnp.dot(al[:], w2, preferred_element_type=jnp.int32)
@@ -959,45 +975,41 @@ def entryf_forward(xq: jnp.ndarray, wp: dict, shift_out: int,
     assert C == wp["C"] and W % 8 == 0 and H % 2 == 0
     NG = W // 8 + 2
     n4 = 4 * N
-    # pad rows/cols, fold pixels into 8-pixel groups, lane-pad to SLOT
+    LROW = LANE    # group rows lane-padded to 128 (dense DMA-able rows)
+    # pad rows/cols, fold pixels into 8-pixel groups, lane-pad to 128;
+    # the lane pad fuses into the split (no int16 materialization)
     xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 8 * NG - W - 1), (0, 0)))
     xv = xp.reshape(B, H + 2, NG, 8 * C)
-    if 8 * C < SLOT:
-        xv = jnp.pad(xv, ((0, 0), (0, 0), (0, 0), (0, SLOT - 8 * C)))
+    xv = jnp.pad(xv, ((0, 0), (0, 0), (0, 0), (0, LROW - 8 * C)))
     xh, xl = split16(xv)
     FL = (H + 2) * NG
-    xh = xh.reshape(B, FL, SLOT)
-    xl = xl.reshape(B, FL, SLOT)
+    xh = xh.reshape(B, FL, LROW)
+    xl = xl.reshape(B, FL, LROW)
 
+    align = 1 if interpret else 32   # int8 DMA flat-offset rule is HW-only
     if th is None:
         # dominant VMEM: dot-pair stack temps 8*M1*16N + abuf 2*M1*256
         th = H
-        while th > 2 and (H % th or th % 2
+        while th > 2 and (H % th or th % 2 or (th * NG) % align
                           or th * NG * (16 * n4 + 1024) > (9 << 20)):
             th -= 2
-    assert H % th == 0 and th % 2 == 0, (H, W, th)
+    assert H % th == 0 and th % 2 == 0 and (th * NG) % align == 0, \
+        (H, W, th)
     M1 = th * NG
     nbands = H // th
-    FLs = _round_up((th + 2) * NG + 1, 8)
-    tail = max(0, (nbands - 1) * M1 + FLs - FL)
-    if tail:
-        xh = jnp.pad(xh, ((0, 0), (0, tail), (0, 0)))
-        xl = jnp.pad(xl, ((0, 0), (0, tail), (0, 0)), constant_values=-128)
-    # overlapping band stack (halo 2*NG+pad rows, ~1.06x replication):
-    # aligned row slices + one non-lane-dim concat, cheap at XLA level
-    xbh = jnp.stack([xh[:, i * M1:i * M1 + FLs] for i in range(nbands)], 1)
-    xbl = jnp.stack([xl[:, i * M1:i * M1 + FLs] for i in range(nbands)], 1)
+    FLs = _round_up((th + 2) * NG + 1, max(8, align))
+    tail = max(8, (nbands - 1) * M1 + FLs - FL)
+    xh = jnp.pad(xh, ((0, 0), (0, tail), (0, 0)))
+    xl = jnp.pad(xl, ((0, 0), (0, tail), (0, 0)), constant_values=-128)
 
     out = pl.pallas_call(
-        functools.partial(_entryf_kernel, th=th, NG=NG,
+        functools.partial(_entryf_kernel, th=th, NG=NG, flb=FLs,
                           shift_out=shift_out, leaky=leaky,
                           bal=wp.get("bal", False), n4=n4),
         grid=(B, nbands),
         in_specs=[
-            pl.BlockSpec((1, 1, FLs, SLOT), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, FLs, SLOT), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((wp["K"], 16 * N), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8 * N), lambda b, i: (0, 0),
@@ -1011,12 +1023,15 @@ def entryf_forward(xq: jnp.ndarray, wp: dict, shift_out: int,
         out_shape=jax.ShapeDtypeStruct((B * nbands, M1 // 2, n4),
                                        jnp.int16),
         scratch_shapes=[
+            pltpu.VMEM((FLs, LROW), jnp.int8),
+            pltpu.VMEM((FLs, LROW), jnp.int8),
             pltpu.VMEM((M1, 6 * SLOT), jnp.int8),
             pltpu.VMEM((M1, 6 * SLOT), jnp.int8),
             pltpu.VMEM((M1, n4), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xbh, xbl, wp["w2"], wp["nconst"].reshape(1, 8 * N),
+    )(xh, xl, wp["w2"], wp["nconst"].reshape(1, 8 * N),
       wp["bias"].reshape(1, 4 * N))
     # (B*nbands, th/2*NG, 4N) -> (B, H/2, NG, 4, N) -> crop pad groups
     out = out.reshape(B, H // 2, NG, 4, N)
