@@ -342,6 +342,47 @@ def main() -> int:
                           "compile_s": round(comp, 1)}), flush=True)
         return 0
 
+    if kind in ("entryf", "entryfprep", "entryfdot"):
+        # isolate the fused-entry cost: full forward vs XLA-side prep only
+        l = convs["L00"]
+        w16, b16 = store.int16[l.idx]
+        shift_bias = store.qtables.bias_q[0] - plan.conv_qa_out[l.idx]
+        bias = m._round_shift_np(b16.astype(np.int64),
+                                 shift_bias).astype(np.int32)
+        whwio = np.ascontiguousarray(w16.transpose(2, 3, 1, 0))
+        wp = q16.prep_entryf_weights(whwio, bias)
+        shift = plan.conv_shift_out[l.idx]
+        # merged (H, W*C) dense-lane input — a 3-lane tensor is ~42x
+        # physically padded on TPU and poisons any measurement
+        xi = jnp.asarray(rng.integers(
+            0, 16000, (B, l.h, l.w * l.c)).astype(np.int16))
+        ops = 2.0 * B * l.out_h * l.out_w * l.n * l.c * 9
+        if kind == "entryf":
+            fn = jax.jit(lambda v: q16.entryf_forward(v, wp, shift, True))
+            timed(fn, variants(xi), ops=ops, name="entryf:full")
+        elif kind == "entryfdot":
+            # prep + kernel, no output crop/reshape (sum the raw kernel out)
+            def fn_(v):
+                o = q16.entryf_forward(v, wp, shift, True)
+                return o
+            fn = jax.jit(fn_)
+            timed(fn, variants(xi), ops=ops, name="entryf:dot")
+        else:
+            def prep(v):
+                H, W, C = l.h, l.w, l.c
+                NG = W // 8 + 2
+                xr = jnp.pad(v, ((0, 0), (1, 1),
+                                 (C, (8 * NG - W - 1) * C)))
+                xv = xr.reshape(B, H + 2, NG, 8 * C)
+                xv = jnp.pad(xv, ((0, 0), (0, 0), (0, 0),
+                                  (0, 128 - 8 * C)))
+                xh, xl = q16.split16(xv)
+                return (jnp.sum(xh.astype(jnp.int32))
+                        + jnp.sum(xl.astype(jnp.int32)))
+            fn = jax.jit(prep)
+            timed(fn, variants(xi), name="entryf:prep")
+        return 0
+
     if kind == "pool":
         # yolov2-tiny's overlapping stride-1 maxpool (int16)
         from yolotpu.ops import pool as pool_ops

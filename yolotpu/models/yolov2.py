@@ -517,7 +517,15 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                         # at the pool step)
                         kind = "xla_fallback"
                     if kind == "entryf":
-                        cur = q16.entryf_forward(exact(cur), pw["wp"],
+                        # quantize AFTER merging (W, C) into dense lanes:
+                        # a materialized 3-lane int16 tensor is physically
+                        # ~42x padded on TPU; the reshape on the network
+                        # input is a free bitcast and quantization
+                        # commutes elementwise (same trick as mm_pairs)
+                        xm = x.reshape(x.shape[0], x.shape[1], -1)
+                        xqm = convops.quantize_input_int16(
+                            xm, plan.input_q)
+                        cur = q16.entryf_forward(xqm, pw["wp"],
                                                  shift, leaky)
                         skip_pool.add(l.idx + 1)
                         cur_layout = "flat"

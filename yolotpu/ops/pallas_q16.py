@@ -969,17 +969,30 @@ def entryf_forward(xq: jnp.ndarray, wp: dict, shift_out: int,
     (yolo2_accel.cpp:127-168, core_compute.cpp:266-305)."""
     if interpret is None:
         interpret = _interpret_default()
-    B, H, W, C = xq.shape
+    C = wp["C"]
+    if xq.ndim == 4:
+        B, H, W, C4 = xq.shape
+        assert C4 == C
+        xq = xq.reshape(B, H, W * C)
+    else:
+        B, H, WC = xq.shape
+        W = WC // C
     N = wp["N"]
     SLOT = 32
-    assert C == wp["C"] and W % 8 == 0 and H % 2 == 0
+    assert W % 8 == 0 and H % 2 == 0
     NG = W // 8 + 2
     n4 = 4 * N
     LROW = LANE    # group rows lane-padded to 128 (dense DMA-able rows)
-    # pad rows/cols, fold pixels into 8-pixel groups, lane-pad to 128;
-    # the lane pad fuses into the split (no int16 materialization)
-    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 8 * NG - W - 1), (0, 0)))
-    xv = xp.reshape(B, H + 2, NG, 8 * C)
+    # ALL prep happens in the merged (W*C) dense-lane domain: a
+    # materialized (B, H, W, 3) tensor is PHYSICALLY ~42x padded on TPU
+    # (minor dims tile to (8,128)), so any pass over it moves gigabytes
+    # (measured: 9.2 ms for the prep alone at b128). Callers should merge
+    # BEFORE quantizing — reshape of the network input is a free bitcast,
+    # and everything downstream stays dense. Pixel pads become C-scaled
+    # lane pads; the group split is a contiguous reshape.
+    xr = xq
+    xr = jnp.pad(xr, ((0, 0), (1, 1), (C, (8 * NG - W - 1) * C)))
+    xv = xr.reshape(B, H + 2, NG, 8 * C)
     xv = jnp.pad(xv, ((0, 0), (0, 0), (0, 0), (0, LROW - 8 * C)))
     xh, xl = split16(xv)
     FL = (H + 2) * NG
