@@ -233,6 +233,35 @@ def test_full_net_pallas_bitexact_vs_golden():
     assert {"mm", "conv3", "xla"} <= kinds, kinds
 
 
+def test_full_net_dec8_bitexact(monkeypatch):
+    """The whole graph with every XLA-routed 3x3 on the dec8 engine
+    (three int8 MXU convs) == golden int32 bit-for-bit, including the
+    xla8 plane-flow edges in build_forward."""
+    from yolotpu.golden import GoldenNet
+    from yolotpu.models import yolov2, zoo
+    from yolotpu.quant import calibrate_activations, quantize_weights
+    from yolotpu.weights import WeightStore
+
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    rng = np.random.default_rng(100)
+    monkeypatch.setattr(yolov2, "_Q16_XLA_DEC8", True)
+    monkeypatch.setattr(yolov2, "_Q16_XLA_MIN_C", 192)
+    img = rng.random((3, 64, 64)).astype(np.float32)
+    act_q = calibrate_activations(spec, store, [img])
+    quantize_weights(store, act_q)
+    g = GoldenNet(spec).forward_int16(img, store.int16, store.qtables,
+                                      mode="int32")
+    fwd = yolov2.build_forward(spec, "int16", store.qtables,
+                               compute="pallas", outputs=("head",))
+    params = yolov2.params_q16(spec, store)
+    head = np.asarray(fwd(params, jnp.asarray(
+        img.transpose(1, 2, 0)[None]))["head"])[0]
+    np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
+    kinds = {params[f"conv{l.idx}"]["kind"] for l in spec.conv_layers()}
+    assert "xla8" in kinds, kinds
+
+
 def test_full_net_pallas_bitexact_tiny():
     """yolov2-tiny through the pallas q16 path == golden, bit for bit
     (covers the stride-1 overlapping maxpool and small-C conv ladder)."""
@@ -376,3 +405,79 @@ def test_matmul_planes_modes():
                                     interpret=True, out_mode="planes")
     got = np.asarray(q16.recombine16(oh, ol))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_conv_int16_dec8_bitexact():
+    """dec8 XLA engine (three int8 MXU convs, balanced weight planes +
+    s8 activation planes) == int32 engine bit-for-bit, including int32
+    wraparound extremes, plane input and plane output forms."""
+    from yolotpu.ops import convops
+    rng = np.random.default_rng(30)
+    C, N, H = 64, 96, 9
+    x = rng.integers(-32768, 32768, (2, H, H, C)).astype(np.int16)
+    x[0, 0] = 32767
+    x[0, 1] = -32768
+    w = rng.integers(-30000, 30000, (3, 3, C, N)).astype(np.int16)
+    w[0, 0, 0, 0] = 32639          # balanced-encoding boundary
+    w[0, 0, 0, 1] = -32768
+    b = rng.integers(-1000, 1000, N).astype(np.int32)
+    sp = convops.split_weights_dec8(w)
+    assert sp is not None
+    wh, wl, cw = sp
+    for act in ("leaky", "linear"):
+        for shift in (7, -2, 0):
+            ref = convops.conv_int16(jnp.asarray(x), jnp.asarray(w),
+                                     jnp.asarray(b), 1, 1, act, shift)
+            got = convops.conv_int16_dec8(
+                jnp.asarray(x), jnp.asarray(wh), jnp.asarray(wl),
+                jnp.asarray(cw), jnp.asarray(b), 1, 1, act, shift)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # plane input and plane output (the plane-flow edge forms)
+    ref = convops.conv_int16(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                             1, 1, "leaky", 7)
+    oh, ol = convops.conv_int16_dec8(
+        q16.split16(jnp.asarray(x)), jnp.asarray(wh), jnp.asarray(wl),
+        jnp.asarray(cw), jnp.asarray(b), 1, 1, "leaky", 7, out_planes=True)
+    np.testing.assert_array_equal(np.asarray(q16.recombine16(oh, ol)),
+                                  np.asarray(ref))
+    # unbalanced weights must refuse the split
+    wbad = np.full((3, 3, 4, 4), 32700, np.int16)
+    assert convops.split_weights_dec8(wbad) is None
+
+
+def test_conv3_flat_wi_matches_abuf():
+    """Weight-resident implicit-im2col path (whole-image geometries)
+    == the abuf kernel bit-for-bit across output modes and plane input."""
+    import os
+    rng = np.random.default_rng(31)
+    B, H, W, C, N = 2, 26, 26, 128, 128
+    w = rng.integers(-30000, 30000, (3, 3, C, N)).astype(np.int16)
+    b = rng.integers(-500, 500, N).astype(np.int32)
+    wp = q16.prep_conv_weights(w, b)
+    assert wp["bal"]
+    x = rng.integers(-32768, 32768, (B, H, W, wp["Cp"])).astype(np.int16)
+    xj = jnp.asarray(x)
+    try:
+        for om in ("i16", "planes", "planes_vpool"):
+            os.environ["YOLO2_Q16_WI"] = "1"
+            a = q16.conv3x3_q16_flat(xj, wp, 7, True, interpret=True,
+                                     out_mode=om)
+            os.environ["YOLO2_Q16_WI"] = "0"
+            r = q16.conv3x3_q16_flat(xj, wp, 7, True, interpret=True,
+                                     out_mode=om)
+            assert a is not None and r is not None, om
+            pair = (a, r) if om == "i16" else (a[0], r[0], a[1], r[1])
+            if om == "i16":
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+            else:
+                for i in (0, 1):
+                    np.testing.assert_array_equal(
+                        np.asarray(a[i][:, :, :W]), np.asarray(r[i][:, :, :W]))
+        os.environ["YOLO2_Q16_WI"] = "1"
+        a = q16.conv3x3_q16_flat(q16.split16(xj), wp, 7, True,
+                                 interpret=True, out_mode="i16")
+        r = q16.conv3x3_q16_flat(xj, wp, 7, True, interpret=True,
+                                 out_mode="i16")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+    finally:
+        os.environ.pop("YOLO2_Q16_WI", None)

@@ -43,6 +43,15 @@ _Q16_USE_P2 = os.environ.get("YOLO2_Q16_USE_P2", "0") == "1"
 _Q16_USE_PAIRS = os.environ.get("YOLO2_Q16_USE_PAIRS", "0") == "1"
 _Q16_USE_ENTRY8 = os.environ.get("YOLO2_Q16_USE_ENTRY8", "0") == "1"
 _Q16_ENTRY = os.environ.get("YOLO2_Q16_ENTRY", "xla")
+# XLA-routed 3x3 layers run the dec8 engine (three int8 MXU convs, exact
+# int32-wraparound recombine — see convops.conv_int16_dec8) when 1.
+# Measured OFF: dec8 on every XLA layer is 112.1 ms e2e vs 79.0 ms for the
+# int32 engine (b128; the 2C-channel mixed conv doubles activation traffic)
+_Q16_XLA_DEC8 = os.environ.get("YOLO2_Q16_XLA_DEC8", "0") == "1"
+# bisection: when set, ONLY these layer indices use dec8 (comma list)
+_Q16_DEC8_LAYERS = {int(v) for v in
+                    os.environ.get("YOLO2_Q16_DEC8_LAYERS", "").split(",")
+                    if v.strip()}
 # bisection knob: comma list of conv layer indices allowed to use the
 # pallas 3x3 kernels ("" = no restriction)
 _Q16_PALLAS_3X3 = {int(v) for v in
@@ -135,6 +144,21 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
     def padded_out(n):
         return max(q16._round_up(n, 64), q16.LANE)
 
+    def xla_pack(whwio, bias_shifted, l):
+        """XLA-engine weight pack; 3x3 layers get the dec8 s8-plane split
+        (three int8 MXU convs) when the weights admit the balanced
+        encoding, else the plain int32 engine."""
+        if _Q16_XLA_DEC8 and l.size > 1 \
+                and l.activation in ("leaky", "linear") \
+                and (not _Q16_DEC8_LAYERS or l.idx in _Q16_DEC8_LAYERS):
+            sp = convops.split_weights_dec8(whwio)
+            if sp is not None:
+                return {"kind": "xla8", "wh": jnp.asarray(sp[0]),
+                        "wl": jnp.asarray(sp[1]), "cw": jnp.asarray(sp[2]),
+                        "b": jnp.asarray(bias_shifted)}
+        return {"kind": "xla", "w": jnp.asarray(whwio),
+                "b": jnp.asarray(bias_shifted)}
+
     width: dict[int, tuple[int, int]] = {}   # idx -> (real, padded)
     prev = (spec.net.channels, spec.net.channels)
     first_conv = next(
@@ -200,15 +224,11 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                 # decomposed formulation is lane-hostile (K=27..40 blocks
                 # relayout every load; measured 175 ms at b128) — XLA's
                 # conv handles it acceptably
-                p[f"conv{l.idx}"] = {"kind": "xla",
-                                     "w": jnp.asarray(whwio),
-                                     "b": jnp.asarray(bias_shifted)}
+                p[f"conv{l.idx}"] = xla_pack(whwio, bias_shifted, l)
                 prev = (l.n, l.n)
             elif (l.size == 3 and _Q16_PALLAS_3X3
                   and l.idx not in _Q16_PALLAS_3X3):
-                p[f"conv{l.idx}"] = {"kind": "xla",
-                                     "w": jnp.asarray(whwio),
-                                     "b": jnp.asarray(bias_shifted)}
+                p[f"conv{l.idx}"] = xla_pack(whwio, bias_shifted, l)
                 prev = (l.n, l.n)
             elif (l.size == 3
                   and ((_Q16_XLA_MIN_C and l.c >= _Q16_XLA_MIN_C)
@@ -217,9 +237,7 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                 # (the decomposed kernels' per-layer glue — plane split,
                 # channel pad, crop — scales with the activation size and
                 # dwarfs their kernel advantage here; see module header)
-                p[f"conv{l.idx}"] = {"kind": "xla",
-                                     "w": jnp.asarray(whwio),
-                                     "b": jnp.asarray(bias_shifted)}
+                p[f"conv{l.idx}"] = xla_pack(whwio, bias_shifted, l)
                 prev = (l.n, l.n)
             elif (_Q16_USE_P2
                   and l.size == 3 and l.stride == 1 and simple_act
@@ -453,7 +471,7 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
             nxt = by_idx.get(idx + 1)
             return (isinstance(nxt, ConvSpec)
                     and params.get(f"conv{nxt.idx}", {}).get("kind")
-                    in ("mm", "conv3"))
+                    in ("mm", "conv3", "xla8"))
 
         def _plane_ok(idx: int) -> bool:
             return (not debug and idx not in needed
@@ -616,6 +634,22 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                                                    pw["wp"], shift, leaky)
                         cur = o.reshape(b_, h_, wb_, -1)
                         cur_layout = "hpair"
+                    elif kind == "xla8":
+                        cin = pw["wh"].shape[2]
+                        if cur_layout == "planes":
+                            vh, vl = cur
+                            if vh.shape[-1] != cin:
+                                vh = vh[..., :cin]
+                                vl = vl[..., :cin]
+                            vin = (vh, vl)
+                        else:
+                            vin = exact(flat(cur))
+                        op = _plane_ok(l.idx)
+                        cur = convops.conv_int16_dec8(
+                            vin, pw["wh"], pw["wl"], pw["cw"], pw["b"],
+                            l.stride, l.pad, l.activation, shift,
+                            out_planes=op)
+                        cur_layout = "planes" if op else "flat"
                     elif kind == "mm_patches":
                         if l.idx == first_conv_idx:
                             # patches commute with elementwise quantization:

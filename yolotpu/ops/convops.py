@@ -168,6 +168,79 @@ def conv_int16(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
     return v.astype(jnp.int16)
 
 
+def split_weights_dec8(w) -> tuple | None:
+    """Balanced s8 plane split of an int16 HWIO weight tensor for the dec8
+    XLA engine: w == 256*wh + wl with wh, wl both s8, plus the activation
+    lo-plane offset correction cw = 128 * sum_taps(w) (int32, wraparound).
+
+    Returns (wh, wl, cw) as numpy arrays, or None when any |w| > 32639
+    (wh would overflow s8) — caller keeps that layer on the int32 engine.
+    """
+    import numpy as np
+    w = np.asarray(w)
+    if int(w.max(initial=0)) > 32639:
+        return None
+    wh = (w.astype(np.int32) + 128) >> 8
+    wl = w.astype(np.int32) - (wh << 8)
+    cw = (128 * w.astype(np.int64).sum(axis=(0, 1, 2))) & 0xFFFFFFFF
+    cw = cw.astype(np.uint32).view(np.int32)
+    return wh.astype(np.int8), wl.astype(np.int8), cw
+
+
+def conv_int16_dec8(x, wh: jnp.ndarray, wl: jnp.ndarray,
+                    cw: jnp.ndarray, bias_shifted: jnp.ndarray, stride: int,
+                    pad: int, activation: str, shift_out: int,
+                    out_planes: bool = False):
+    """Exact s16 conv as THREE int8 convs on the MXU fast path (the dec2
+    split the Pallas q16 kernels use, expressed in XLA for the large-spatial
+    layers where per-layer kernel glue loses; see pallas_q16.py header).
+
+    x = 256*xh + (xl - 128) + 128 with xh = x >> 8, xl = (x & 255) - 128
+    (both s8; zero padding encodes as (0, -128), restored by the per-tap
+    +128 folded into ``cw``), w = 256*wh + wl (balanced, split at param
+    build). Then, all mod 2^32 — identical to the int32 engine's
+    wraparound contract:
+        acc = (A(xh,wh) << 16) + (A(xh,wl) + A(xl,wh) << 8) + A(xl,wl) + cw
+    The two mixed products fuse into ONE 2C-input conv; int8 conv partials
+    fit int32 exactly (127*127*18*C taps < 2^31 for C <= 4096).
+    """
+    if isinstance(x, tuple):
+        # (hi, lo) s8 planes straight from a Pallas kernel (same encoding:
+        # hi = x >> 8, lo = (x & 255) - 128) — skip recombine + re-split
+        xh, xl = x
+        if pad:
+            pp = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+            xh = jnp.pad(xh, pp)
+            xl = jnp.pad(xl, pp, constant_values=-128)
+        p = "VALID"
+    else:
+        xp, p = pad_same_darknet(x, wh.shape[0], stride, pad, jnp.int16(0))
+        xh = (xp >> 8).astype(jnp.int8)
+        xl = (jnp.bitwise_and(xp, 255) - 128).astype(jnp.int8)
+    a_hh = lax.conv_general_dilated(xh, wh, (stride, stride), p,
+                                    dimension_numbers=DN,
+                                    preferred_element_type=jnp.int32)
+    a_ll = lax.conv_general_dilated(xl, wl, (stride, stride), p,
+                                    dimension_numbers=DN,
+                                    preferred_element_type=jnp.int32)
+    xm = jnp.concatenate([xh, xl], axis=-1)
+    wm = jnp.concatenate([wl, wh], axis=2)
+    a_mid = lax.conv_general_dilated(xm, wm, (stride, stride), p,
+                                     dimension_numbers=DN,
+                                     preferred_element_type=jnp.int32)
+    acc = (a_hh << 16) + (a_mid << 8) + a_ll + cw
+    v = sat16(round_shift(acc, shift_out) + bias_shifted)
+    if activation == "leaky":
+        v = sat16(leaky_int16(v))
+    elif activation != "linear":
+        raise NotImplementedError(f"int16 activation {activation}")
+    v = v.astype(jnp.int16)
+    if out_planes:
+        return (v >> 8).astype(jnp.int8), \
+            ((v & 0xFF) - 128).astype(jnp.int8)
+    return v
+
+
 def conv_int8(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
               stride: int, pad: int, activation: str, shift_out: int,
               use_pallas: bool = False) -> jnp.ndarray:

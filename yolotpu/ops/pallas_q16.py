@@ -546,6 +546,55 @@ def _convf_kernel_pl(xh_hbm, xl_hbm, w_ref, nc_ref, b_ref, oh_ref, ol_ref,
             ol_ref[0, obase + a * W2a:obase + (a + 1) * W2a] = lo
 
 
+def _convw_body(xh_ref, xl_ref, w2, nc, *, M1, W2a, Cp, tn, kh, kw):
+    """Implicit-im2col accumulation: every tap (dy, dx) of the flattened
+    whole-image band is a CONTIGUOUS sublane slice at offset dy*W2a+dx,
+    fed to the MXU directly — no materialized (M1, K) patch buffer. That
+    buffer (2*M1*K bytes) was THE VMEM limiter of the abuf kernel; without
+    it the N-tile loop can be the MAJOR grid dim (weight tile resident
+    across all images) while the image bands pipeline via BlockSpec.
+    Balanced weight encoding only (no rsum reduce)."""
+    acch = accl = None
+    for dy in range(kh):
+        for dx in range(kw):
+            off = dy * W2a + dx
+            t = dy * kw + dx
+            wt = w2[t * Cp:(t + 1) * Cp]
+            ph = jnp.dot(xh_ref[0, off:off + M1], wt,
+                         preferred_element_type=jnp.int32)
+            pl2 = jnp.dot(xl_ref[0, off:off + M1], wt,
+                          preferred_element_type=jnp.int32)
+            acch = ph if acch is None else acch + ph
+            accl = pl2 if accl is None else accl + pl2
+    return _recombine(acch, accl, None, nc, tn)
+
+
+def _convw_kernel(xh_ref, xl_ref, w_ref, nc_ref, b_ref, o_ref, *,
+                  M1, W2a, Cp, tn, kh, kw, shift_out, leaky):
+    acc = _convw_body(xh_ref, xl_ref, w_ref[0], nc_ref[0, 0],
+                      M1=M1, W2a=W2a, Cp=Cp, tn=tn, kh=kh, kw=kw)
+    o_ref[0] = _requant(acc, b_ref[0, 0], shift_out, leaky)
+
+
+def _convw_kernel_pl(xh_ref, xl_ref, w_ref, nc_ref, b_ref, oh_ref, ol_ref,
+                     *, M1, W2a, Cp, tn, kh, kw, shift_out, leaky, vpool):
+    acc = _convw_body(xh_ref, xl_ref, w_ref[0], nc_ref[0, 0],
+                      M1=M1, W2a=W2a, Cp=Cp, tn=tn, kh=kh, kw=kw)
+    v32 = _requant32(acc, b_ref[0, 0], shift_out, leaky)
+    if not vpool:
+        hi, lo = _split32(v32)
+        oh_ref[0] = hi
+        ol_ref[0] = lo
+        return
+    rows = M1 // W2a
+    for a in range(rows // 2):
+        vmax = jnp.maximum(v32[(2 * a) * W2a:(2 * a + 1) * W2a],
+                           v32[(2 * a + 1) * W2a:(2 * a + 2) * W2a])
+        hi, lo = _split32(vmax)
+        oh_ref[0, a * W2a:(a + 1) * W2a] = hi
+        ol_ref[0, a * W2a:(a + 1) * W2a] = lo
+
+
 def _flat_geometry(B: int, H: int, W: int, Cp: int, K: int, tn: int,
                    kh: int, budget: int = 11 << 20):
     """Pick (G, th, nbands, W2a, Hp) for conv3x3_q16_flat.
@@ -630,6 +679,63 @@ def conv3x3_q16_flat(x, wp: dict, shift_out: int,
     if vpool and (H % 2 or th % 2):
         return None                  # caller falls back to unfused pool
     M1 = th * W2a
+
+    # weight-resident implicit-im2col path (whole-image geometries): the
+    # N-tile loop is the MAJOR grid dim so each weight tile streams from
+    # HBM ONCE per step instead of B/G times (the abuf kernel re-streams
+    # the 13x13 block's full weight set per image: ~10 GB/step at B=128);
+    # image bands pipeline as plain BlockSpec blocks (no manual DMA)
+    if (_os.environ.get("YOLO2_Q16_WI", "1") == "1"
+            and wp.get("bal") and nbands == 1):
+        FL2 = (H + kh) * W2a
+        need = 4 * FL2 * Cp + 4 * K * tn + 24 * M1 * tn
+        if need <= int(_os.environ.get("YOLO2_Q16_WI_BUDGET",
+                                       str(13 << 20))):
+            pad2 = ((0, 0), (1, kh - 1), (1, W2a - W - 1), (0, 0))
+            if planes_in:
+                xh, xl = pad_planes(x, pad2)
+            else:
+                xh, xl = split16(jnp.pad(x, pad2))
+            xh = xh.reshape(B, FL2, Cp)
+            xl = xl.reshape(B, FL2, Cp)
+            nj = np_ // tn
+            wi_common = dict(M1=M1, W2a=W2a, Cp=Cp, tn=tn, kh=kh, kw=kw,
+                             shift_out=shift_out, leaky=leaky)
+            bspec = pl.BlockSpec((1, FL2, Cp), lambda j, b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            wspec = lambda shp: pl.BlockSpec(shp, lambda j, b: (j, 0, 0),
+                                             memory_space=pltpu.VMEM)
+            wi_in = [bspec, bspec, wspec((1, K, 2 * tn)),
+                     wspec((1, 1, tn)), wspec((1, 1, tn))]
+            wi_grid = (nj, B)
+            wi_args = (xh, xl, wp["w2"], wp["nconst"].reshape(nj, 1, tn),
+                       wp["bias"].reshape(nj, 1, tn))
+            if out_mode == "i16":
+                out = pl.pallas_call(
+                    functools.partial(_convw_kernel, **wi_common),
+                    grid=wi_grid, in_specs=wi_in,
+                    out_specs=pl.BlockSpec((1, M1, tn),
+                                           lambda j, b: (b, 0, j),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((B, M1, np_), jnp.int16),
+                    interpret=interpret)(*wi_args)
+                return out.reshape(B, H, W2a, np_)[:, :, :W]
+            Mo = M1 // (2 if vpool else 1)
+            ospec = pl.BlockSpec((1, Mo, tn), lambda j, b: (b, 0, j),
+                                 memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct((B, Mo, np_), jnp.int8)
+            oh, ol = pl.pallas_call(
+                functools.partial(_convw_kernel_pl, vpool=vpool,
+                                  **wi_common),
+                grid=wi_grid, in_specs=wi_in,
+                out_specs=(ospec, ospec), out_shape=(oshape, oshape),
+                interpret=interpret)(*wi_args)
+            Ho = H // 2 if vpool else H
+            oh = oh.reshape(B, Ho, W2a, np_)
+            ol = ol.reshape(B, Ho, W2a, np_)
+            if vpool:
+                return oh, ol        # garbage cols; hpool2_planes crops
+            return oh[:, :, :W], ol[:, :, :W]
 
     pad_spec = ((0, 0), (1, 1 + (Hp - H) + (kh - 3)),
                 (1, W2a - W - 1), (0, 0))
