@@ -365,6 +365,55 @@ def test_entryf_conv_pool_exact(shape, shift, leaky, wmax):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("shift,act", [(7, "leaky"), (5, "linear")])
+def test_entry_sd_conv_pool_exact(shift, act):
+    """Space-to-depth fused entry (one 4x4/s2 XLA conv + group-max on the
+    int32 accumulator) == conv_int16 then darknet maxpool 2x2/s2, bit for
+    bit — including saturation extremes."""
+    from yolotpu.ops import pool as pool_ops
+    B, H, W, C, N = 2, 20, 16, 3, 32
+    rng = np.random.default_rng(15)
+    xq = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    xq[0, 0] = 32767
+    xq[1, -1] = -32768
+    w = rng.integers(-32768, 32768, (3, 3, C, N)).astype(np.int16)
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    w4 = convops.make_entry_sd_weights(w, N)
+    got = np.asarray(convops.conv_pool_entry_sd(
+        jnp.asarray(xq.transpose(0, 3, 1, 2)), jnp.asarray(w4),
+        jnp.asarray(bias), shift, act))
+    conv = convops.conv_int16(jnp.asarray(xq), jnp.asarray(w),
+                              jnp.asarray(bias), 1, 1, act, shift)
+    want = np.asarray(pool_ops.maxpool(conv, 2, 2, 0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_net_entry_sd_bitexact(monkeypatch):
+    """Whole graph with the sd entry == golden int32 bit-for-bit (entry
+    conv + pool fused through params_q16/build_forward)."""
+    from yolotpu.golden import GoldenNet
+    from yolotpu.models import yolov2, zoo
+    from yolotpu.quant import calibrate_activations, quantize_weights
+    from yolotpu.weights import WeightStore
+
+    monkeypatch.setattr(yolov2, "_Q16_ENTRY", "sd")
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    rng = np.random.default_rng(101)
+    img = rng.random((3, 64, 64)).astype(np.float32)
+    act_q = calibrate_activations(spec, store, [img])
+    quantize_weights(store, act_q)
+    g = GoldenNet(spec).forward_int16(img, store.int16, store.qtables,
+                                      mode="int32")
+    params = yolov2.params_q16(spec, store)
+    assert params["conv0"]["kind"] == "entry_sd"
+    fwd = yolov2.build_forward(spec, "int16", store.qtables,
+                               compute="pallas", outputs=("head",))
+    head = np.asarray(fwd(params, jnp.asarray(
+        img.transpose(1, 2, 0)[None]))["head"])[0]
+    np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
+
+
 @pytest.mark.parametrize("vpool", [False, True])
 def test_conv3_flat_planes_modes(vpool):
     """Plane-in/plane-out (+fused vertical pool half) == int16 kernel +
@@ -445,15 +494,20 @@ def test_conv_int16_dec8_bitexact():
     assert convops.split_weights_dec8(wbad) is None
 
 
-def test_conv3_flat_wi_matches_abuf():
+@pytest.mark.parametrize("B,H,W,C,N", [
+    (2, 26, 26, 128, 128),
+    (1, 52, 52, 128, 256),   # abuf model must band this; wi hosts it whole
+])
+def test_conv3_flat_wi_matches_abuf(B, H, W, C, N):
     """Weight-resident implicit-im2col path (whole-image geometries)
     == the abuf kernel bit-for-bit across output modes and plane input."""
     import os
     rng = np.random.default_rng(31)
-    B, H, W, C, N = 2, 26, 26, 128, 128
     w = rng.integers(-30000, 30000, (3, 3, C, N)).astype(np.int16)
     b = rng.integers(-500, 500, N).astype(np.int32)
-    wp = q16.prep_conv_weights(w, b)
+    tn = q16.wi_tn(H, W, C, N)
+    assert tn is not None
+    wp = q16.prep_conv_weights(w, b, tn=tn)
     assert wp["bal"]
     x = rng.integers(-32768, 32768, (B, H, W, wp["Cp"])).astype(np.int16)
     xj = jnp.asarray(x)
@@ -481,3 +535,55 @@ def test_conv3_flat_wi_matches_abuf():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
     finally:
         os.environ.pop("YOLO2_Q16_WI", None)
+
+
+def test_conv_int16_nchw_bitexact():
+    """Dense-NCHW entry conv == NHWC conv_int16 bit-for-bit (C=3 entry
+    geometry, leaky, including saturation extremes)."""
+    from yolotpu.ops import convops
+    rng = np.random.default_rng(32)
+    x = rng.integers(-32768, 32768, (2, 20, 20, 3)).astype(np.int16)
+    x[0, 0] = 32767
+    w = rng.integers(-32768, 32768, (3, 3, 3, 32)).astype(np.int16)
+    b = rng.integers(-1000, 1000, 32).astype(np.int32)
+    for act, shift in (("leaky", 9), ("linear", -1)):
+        ref = convops.conv_int16(jnp.asarray(x), jnp.asarray(w),
+                                 jnp.asarray(b), 1, 1, act, shift)
+        got = convops.conv_int16_nchw(
+            jnp.asarray(x.transpose(0, 3, 1, 2)), jnp.asarray(w),
+            jnp.asarray(b), 1, 1, act, shift)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_conv3_wi_banded_bitexact(monkeypatch):
+    """Banded weight-resident path (bands stacked into the batch dim,
+    kh-row overlap) == unbanded == oracle across output modes."""
+    monkeypatch.setenv("YOLO2_Q16_WI", "1")
+    rng = np.random.default_rng(33)
+    B, H, W, C, N = 2, 16, 12, 128, 128
+    w = rng.integers(-30000, 30000, (3, 3, C, N)).astype(np.int16)
+    b = rng.integers(-500, 500, N).astype(np.int32)
+    wp = q16.prep_conv_weights(w, b, tn=128)
+    assert wp["bal"]
+    x = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    xj = jnp.asarray(x)
+    ref = np.asarray(convops.conv_int16(
+        xj, jnp.asarray(w), jnp.asarray(b), 1, 1, "leaky", 7))
+    for om in ("i16", "planes", "planes_vpool"):
+        monkeypatch.setenv("YOLO2_Q16_WI_BUDGET", str(1_200_000))  # th=8
+        a = q16.conv3x3_q16_flat(xj, wp, 7, True, interpret=True,
+                                 out_mode=om)
+        assert a is not None, om
+        if om == "i16":
+            np.testing.assert_array_equal(np.asarray(a)[..., :N], ref)
+        elif om == "planes":
+            got = np.asarray(q16.recombine16(a[0][:, :, :W],
+                                             a[1][:, :, :W]))
+            np.testing.assert_array_equal(got[..., :N], ref)
+        else:
+            v = q16.recombine16(a[0], a[1])
+            got = np.asarray(jnp.maximum(v[:, :, 0::2], v[:, :, 1::2])
+                             [:, :, : W // 2])
+            want = ref.reshape(B, H // 2, 2, W, N).max(axis=2)
+            want = np.maximum(want[:, :, 0::2], want[:, :, 1::2])
+            np.testing.assert_array_equal(got[..., :N], want)

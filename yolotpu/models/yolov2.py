@@ -180,6 +180,22 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                     whwio.reshape(l.c, l.n), bias_shifted, kp=in_pad)
                 p[f"conv{l.idx}"] = {"kind": "mm", "wp": wp}
                 prev = (l.n, wp["Np"])
+            elif (_Q16_ENTRY == "sd"
+                  and l.size == 3 and l.stride == 1 and l.c <= 4
+                  and simple_act and l.groups == 1 and darknet_pad
+                  and l.w % 2 == 0 and l.h % 2 == 0
+                  and _next_is_pool22(spec, l.idx)):
+                # fused entry conv+pool in pure XLA: one 4x4/s2 conv whose
+                # output-channel groups are the four pool-window members
+                # (make_entry_sd_weights); group-max on the int32
+                # accumulator folds into the conv's epilogue, so the
+                # 416²x32 conv intermediate never touches HBM
+                w4 = convops.make_entry_sd_weights(whwio, l.n)
+                p[f"conv{l.idx}"] = {"kind": "entry_sd",
+                                     "w4": jnp.asarray(w4),
+                                     "w": jnp.asarray(whwio),
+                                     "b": jnp.asarray(bias_shifted)}
+                prev = (l.n, l.n)
             elif (_Q16_ENTRY == "entryf"
                   and l.size == 3 and l.stride == 1 and l.c <= 4
                   and simple_act and l.groups == 1 and darknet_pad
@@ -253,9 +269,12 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                   and l.groups == 1 and darknet_pad and l.c >= 8):
                 # producer width may be exact (e.g. after an XLA-kind
                 # layer); clamp to a lane multiple so the kernel never
-                # sees sub-128-lane channel tiles
+                # sees sub-128-lane channel tiles. tn: prefer a tile the
+                # weight-resident path can host (52x52 needs tn=128)
+                cp3 = max(in_pad, q16.LANE)
                 wp = q16.prep_conv_weights(
-                    whwio, bias_shifted, cp=max(in_pad, q16.LANE))
+                    whwio, bias_shifted, cp=cp3,
+                    tn=q16.wi_tn(l.h, l.w, cp3, l.n))
                 p[f"conv{l.idx}"] = {"kind": "conv3", "wp": wp}
                 prev = (l.n, wp["Np"])
             elif (l.size == 3 and l.stride == 1 and simple_act
@@ -526,7 +545,7 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                     shift = plan.conv_shift_out[l.idx]
                     leaky = l.activation == "leaky"
                     kind = pw["kind"]
-                    if (kind in ("entry8", "entryf")
+                    if (kind in ("entry8", "entryf", "entry_sd")
                             and (debug or l.idx in needed)):
                         # per-layer dumps / a route into the conv's own
                         # pre-pool output need the unfused intermediate:
@@ -534,7 +553,18 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                         # l.idx+1, is correctly produced by the fused path
                         # at the pool step)
                         kind = "xla_fallback"
-                    if kind == "entryf":
+                    if kind == "entry_sd":
+                        # quantize in dense NCHW (minor dims spatial): the
+                        # 3-lane NHWC int16 image would be ~42x physically
+                        # padded; transpose on f32 + elementwise quantize
+                        # commute with the NHWC formulation bit-for-bit
+                        xt = jnp.transpose(x, (0, 3, 1, 2))
+                        xq = convops.quantize_input_int16(xt, plan.input_q)
+                        cur = convops.conv_pool_entry_sd(
+                            xq, pw["w4"], pw["b"], shift, l.activation)
+                        skip_pool.add(l.idx + 1)
+                        cur_layout = "flat"
+                    elif kind == "entryf":
                         # quantize AFTER merging (W, C) into dense lanes:
                         # a materialized 3-lane int16 tensor is physically
                         # ~42x padded on TPU; the reshape on the network
@@ -664,6 +694,18 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                                                    pw["wp"], shift, leaky,
                                                    out_np=True)
                         cur = o.reshape(b_, h_, w_, -1)
+                        cur_layout = "flat"
+                    elif (l.idx == first_conv_idx and _Q16_ENTRY == "nchw"
+                          and "w" in pw):
+                        # dense-lane entry: transpose the fp32 image to
+                        # NCHW (minor dims H, W — dense) BEFORE quantizing
+                        # so the int16 image never materializes in the
+                        # ~42x-padded 3-lane NHWC layout
+                        xt = jnp.transpose(x, (0, 3, 1, 2))
+                        xq = convops.quantize_input_int16(xt, plan.input_q)
+                        cur = convops.conv_int16_nchw(
+                            xq, pw["w"], pw["b"], l.stride, l.pad,
+                            l.activation, shift)
                         cur_layout = "flat"
                     else:
                         cur = convops.conv_int16(

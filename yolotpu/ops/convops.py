@@ -168,6 +168,85 @@ def conv_int16(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
     return v.astype(jnp.int16)
 
 
+def conv_int16_nchw(x: jnp.ndarray, w: jnp.ndarray,
+                    bias_shifted: jnp.ndarray, stride: int, pad: int,
+                    activation: str, shift_out: int) -> jnp.ndarray:
+    """Entry-conv variant consuming a DENSE NCHW int16 image.
+
+    A materialized (B, H, W, 3) int16 tensor is physically ~42x padded on
+    TPU (the 3-wide minor dim tiles to 128 lanes), so the NHWC entry pays
+    gigabytes of phantom traffic writing/reading the quantized image. In
+    NCHW the minor dims are (H, W) — dense — and the conv reads it
+    directly, emitting NHWC for the rest of the graph. Bit-identical to
+    conv_int16 (same int32 accumulation and requant chain)."""
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    acc = lax.conv_general_dilated(
+        x, w, (stride, stride), "VALID",
+        dimension_numbers=("NCHW", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    v = sat16(round_shift(acc, shift_out) + bias_shifted)
+    if activation == "leaky":
+        v = sat16(leaky_int16(v))
+    elif activation != "linear":
+        raise NotImplementedError(f"int16 activation {activation}")
+    return v.astype(jnp.int16)
+
+
+def make_entry_sd_weights(w_hwio, N: int):
+    """(3,3,C,N) int16 -> (4,4,C,4N) weights for conv_pool_entry_sd.
+
+    Output-channel group g = oy*2 + ox holds the 3x3 kernel shifted to
+    window offset (oy, ox): the 4x4/stride-2 conv then computes all four
+    pool-window members of the following 2x2/s2 maxpool in one pass
+    (reference runs them as two engine launches,
+    yolo2_accel.cpp:127-168 conv + core_compute.cpp:266-305 pool)."""
+    import numpy as np
+    kh, kw, C, n = w_hwio.shape
+    assert (kh, kw) == (3, 3) and n == N
+    w4 = np.zeros((4, 4, C, 4 * N), w_hwio.dtype)
+    for oy in range(2):
+        for ox in range(2):
+            g = oy * 2 + ox
+            w4[oy:oy + 3, ox:ox + 3, :, g * N:(g + 1) * N] = w_hwio
+    return w4
+
+
+def conv_pool_entry_sd(x_nchw: jnp.ndarray, w4: jnp.ndarray,
+                       bias_shifted: jnp.ndarray, shift_out: int,
+                       activation: str) -> jnp.ndarray:
+    """Fused entry conv3x3/s1 + darknet maxpool2x2/s2, pure XLA.
+
+    The 416²x32 conv output (the entry stage's dominant HBM cost — written
+    once, read again by the pool: ~3.2 GB/step at b128) never materializes:
+    a single 4x4/stride-2 conv computes each pool window's four conv values
+    as output-channel groups (see make_entry_sd_weights) and the group-max
+    folds into the conv's fused epilogue. Max commutes with the monotone
+    requant chain (round_shift, +bias, sat16, integer leaky), so taking it
+    on the raw int32 accumulator is bit-identical to pool-after-requant.
+
+    x_nchw (B, C, H, W) int16 DENSE (minor dims spatial — a (.., 3)-channel
+    NHWC int16 tensor is physically ~42x lane-padded on TPU). H, W even.
+    Returns (B, H//2, W//2, N) int16 NHWC.
+    """
+    N4 = w4.shape[3]
+    # conv SAME pad 1 + 4x4 window anchored at (2i-1, 2j-1): rows/cols
+    # -1..H, i.e. pad (1, 2) each spatial side
+    xp = jnp.pad(x_nchw, ((0, 0), (0, 0), (1, 2), (1, 2)))
+    acc = lax.conv_general_dilated(
+        xp, w4, (2, 2), "VALID",
+        dimension_numbers=("NCHW", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    b_, ho, wo, _ = acc.shape
+    acc = jnp.max(acc.reshape(b_, ho, wo, 4, N4 // 4), axis=3)
+    v = sat16(round_shift(acc, shift_out) + bias_shifted)
+    if activation == "leaky":
+        v = sat16(leaky_int16(v))
+    elif activation != "linear":
+        raise NotImplementedError(f"int16 activation {activation}")
+    return v.astype(jnp.int16)
+
+
 def split_weights_dec8(w) -> tuple | None:
     """Balanced s8 plane split of an int16 HWIO weight tensor for the dec8
     XLA engine: w == 256*wh + wl with wh, wl both s8, plus the activation
@@ -201,8 +280,12 @@ def conv_int16_dec8(x, wh: jnp.ndarray, wl: jnp.ndarray,
     build). Then, all mod 2^32 — identical to the int32 engine's
     wraparound contract:
         acc = (A(xh,wh) << 16) + (A(xh,wl) + A(xl,wh) << 8) + A(xl,wl) + cw
-    The two mixed products fuse into ONE 2C-input conv; int8 conv partials
-    fit int32 exactly (127*127*18*C taps < 2^31 for C <= 4096).
+    The weight planes concatenate on the OUTPUT-channel dim, so each
+    activation plane is convolved ONCE against [wh | wl] — two s8 convs
+    total with zero extra activation traffic (an earlier variant fused the
+    mixed products via a 2C input concat instead: materializing that
+    doubled activation tensor measured 112 ms e2e vs 79 for int32).
+    int8 conv partials fit int32 exactly (127*127*18*C < 2^31, C <= 4096).
     """
     if isinstance(x, tuple):
         # (hi, lo) s8 planes straight from a Pallas kernel (same encoding:
@@ -217,18 +300,16 @@ def conv_int16_dec8(x, wh: jnp.ndarray, wl: jnp.ndarray,
         xp, p = pad_same_darknet(x, wh.shape[0], stride, pad, jnp.int16(0))
         xh = (xp >> 8).astype(jnp.int8)
         xl = (jnp.bitwise_and(xp, 255) - 128).astype(jnp.int8)
-    a_hh = lax.conv_general_dilated(xh, wh, (stride, stride), p,
-                                    dimension_numbers=DN,
-                                    preferred_element_type=jnp.int32)
-    a_ll = lax.conv_general_dilated(xl, wl, (stride, stride), p,
-                                    dimension_numbers=DN,
-                                    preferred_element_type=jnp.int32)
-    xm = jnp.concatenate([xh, xl], axis=-1)
-    wm = jnp.concatenate([wl, wh], axis=2)
-    a_mid = lax.conv_general_dilated(xm, wm, (stride, stride), p,
-                                     dimension_numbers=DN,
-                                     preferred_element_type=jnp.int32)
-    acc = (a_hh << 16) + (a_mid << 8) + a_ll + cw
+    n = wh.shape[3]
+    wcat = jnp.concatenate([wh, wl], axis=3)          # (kh, kw, C, 2N)
+    ah = lax.conv_general_dilated(xh, wcat, (stride, stride), p,
+                                  dimension_numbers=DN,
+                                  preferred_element_type=jnp.int32)
+    al = lax.conv_general_dilated(xl, wcat, (stride, stride), p,
+                                  dimension_numbers=DN,
+                                  preferred_element_type=jnp.int32)
+    acc = ((ah[..., :n] << 16) + ((ah[..., n:] + al[..., :n]) << 8)
+           + al[..., n:] + cw)
     v = sat16(round_shift(acc, shift_out) + bias_shifted)
     if activation == "leaky":
         v = sat16(leaky_int16(v))

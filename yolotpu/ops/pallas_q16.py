@@ -194,6 +194,31 @@ _CONV_W_BUDGET = int(_os.environ.get("YOLO2_Q16_CONV_W_BUDGET",
 _FLAT_M_TARGET = int(_os.environ.get("YOLO2_Q16_FLAT_M", "8192"))
 
 
+def wi_tn(H: int, W: int, cp: int, n: int, kh: int = 3,
+          kw: int = 3) -> int | None:
+    """Largest N-tile (>=128) that keeps the weight-resident (wi) conv
+    path inside its VMEM budget for an (H, W, cp) layer — the 24*M1*tn
+    accumulator term dominates, so big-spatial layers need tn=128 where
+    the default weight-budget rule would pick 256+. None when even 128
+    does not fit (caller lets prep_conv_weights pick; the abuf/banded
+    path applies)."""
+    np_ = max(_round_up(n, 64), LANE)
+    W2a = _round_up(W + kw - 1, 8)
+    M1 = H * W2a
+    FL2 = (H + kh) * W2a
+    K = kh * kw * cp
+    budget = int(_os.environ.get("YOLO2_Q16_WI_BUDGET", str(13 << 20)))
+    tn = _pick_tile(np_, 512, 64)
+    while kh * kw * cp * 2 * tn > _CONV_W_BUDGET and tn > 128:
+        tn //= 2
+    while tn >= LANE:
+        if np_ % tn == 0 and 4 * FL2 * cp + 4 * K * tn + 24 * M1 * tn \
+                <= budget:
+            return tn
+        tn //= 2
+    return None
+
+
 def prep_conv_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray,
                       cp: int | None = None, tn: int | None = None,
                       vmem_budget: int | None = None):
@@ -672,25 +697,39 @@ def conv3x3_q16_flat(x, wp: dict, shift_out: int,
         else:
             x = pad_channels(x, Cp)
     K = kh * kw * Cp
-    geo = _flat_geometry(B, H, W, Cp, K, tn, kh)
-    if geo is None:
-        return None
-    G, th, nbands, W2a, Hp = geo
-    if vpool and (H % 2 or th % 2):
-        return None                  # caller falls back to unfused pool
-    M1 = th * W2a
 
     # weight-resident implicit-im2col path (whole-image geometries): the
     # N-tile loop is the MAJOR grid dim so each weight tile streams from
     # HBM ONCE per step instead of B/G times (the abuf kernel re-streams
     # the 13x13 block's full weight set per image: ~10 GB/step at B=128);
-    # image bands pipeline as plain BlockSpec blocks (no manual DMA)
+    # image bands pipeline as plain BlockSpec blocks (no manual DMA).
+    # Feasibility is judged on the WI path's OWN vmem need (no abuf, so
+    # geometries the abuf model must band — e.g. 52x52 at tn=128 — still
+    # qualify as whole-image here).
     if (_os.environ.get("YOLO2_Q16_WI", "1") == "1"
-            and wp.get("bal") and nbands == 1):
+            and wp.get("bal") and not (vpool and H % 2)):
+        W2a = _round_up(W + kw - 1, 8)
         FL2 = (H + kh) * W2a
-        need = 4 * FL2 * Cp + 4 * K * tn + 24 * M1 * tn
-        if need <= int(_os.environ.get("YOLO2_Q16_WI_BUDGET",
-                                       str(13 << 20))):
+        budget = int(_os.environ.get("YOLO2_Q16_WI_BUDGET",
+                                     str(13 << 20)))
+
+        def wi_need(t):
+            return 4 * (t + kh) * W2a * Cp + 4 * K * tn + 24 * t * W2a * tn
+
+        # band rows: whole image when it fits; else the largest divisor
+        # of H (even under vpool) whose accumulator block fits — bands
+        # stack into the batch dim (overlap kh rows, materialized once)
+        th = None
+        for t in sorted({d for d in range(1, H + 1) if H % d == 0},
+                        reverse=True):
+            if vpool and t % 2:
+                continue
+            if wi_need(t) <= budget:
+                th = t
+                break
+        if th is not None and th >= 8:
+            M1 = th * W2a
+            nb = H // th
             pad2 = ((0, 0), (1, kh - 1), (1, W2a - W - 1), (0, 0))
             if planes_in:
                 xh, xl = pad_planes(x, pad2)
@@ -698,6 +737,17 @@ def conv3x3_q16_flat(x, wp: dict, shift_out: int,
                 xh, xl = split16(jnp.pad(x, pad2))
             xh = xh.reshape(B, FL2, Cp)
             xl = xl.reshape(B, FL2, Cp)
+            if nb > 1:
+                FL2b = (th + kh) * W2a
+
+                def bands(v):
+                    vb = jnp.stack(
+                        [v[:, i * M1:i * M1 + FL2b] for i in range(nb)],
+                        axis=1)
+                    return vb.reshape(B * nb, FL2b, Cp)
+                xh, xl = bands(xh), bands(xl)
+                FL2 = FL2b
+            Bk = B * nb
             nj = np_ // tn
             wi_common = dict(M1=M1, W2a=W2a, Cp=Cp, tn=tn, kh=kh, kw=kw,
                              shift_out=shift_out, leaky=leaky)
@@ -707,7 +757,7 @@ def conv3x3_q16_flat(x, wp: dict, shift_out: int,
                                              memory_space=pltpu.VMEM)
             wi_in = [bspec, bspec, wspec((1, K, 2 * tn)),
                      wspec((1, 1, tn)), wspec((1, 1, tn))]
-            wi_grid = (nj, B)
+            wi_grid = (nj, Bk)
             wi_args = (xh, xl, wp["w2"], wp["nconst"].reshape(nj, 1, tn),
                        wp["bias"].reshape(nj, 1, tn))
             if out_mode == "i16":
@@ -717,13 +767,14 @@ def conv3x3_q16_flat(x, wp: dict, shift_out: int,
                     out_specs=pl.BlockSpec((1, M1, tn),
                                            lambda j, b: (b, 0, j),
                                            memory_space=pltpu.VMEM),
-                    out_shape=jax.ShapeDtypeStruct((B, M1, np_), jnp.int16),
+                    out_shape=jax.ShapeDtypeStruct((Bk, M1, np_),
+                                                   jnp.int16),
                     interpret=interpret)(*wi_args)
                 return out.reshape(B, H, W2a, np_)[:, :, :W]
             Mo = M1 // (2 if vpool else 1)
             ospec = pl.BlockSpec((1, Mo, tn), lambda j, b: (b, 0, j),
                                  memory_space=pltpu.VMEM)
-            oshape = jax.ShapeDtypeStruct((B, Mo, np_), jnp.int8)
+            oshape = jax.ShapeDtypeStruct((Bk, Mo, np_), jnp.int8)
             oh, ol = pl.pallas_call(
                 functools.partial(_convw_kernel_pl, vpool=vpool,
                                   **wi_common),
@@ -736,6 +787,14 @@ def conv3x3_q16_flat(x, wp: dict, shift_out: int,
             if vpool:
                 return oh, ol        # garbage cols; hpool2_planes crops
             return oh[:, :, :W], ol[:, :, :W]
+
+    geo = _flat_geometry(B, H, W, Cp, K, tn, kh)
+    if geo is None:
+        return None
+    G, th, nbands, W2a, Hp = geo
+    if vpool and (H % 2 or th % 2):
+        return None                  # caller falls back to unfused pool
+    M1 = th * W2a
 
     pad_spec = ((0, 0), (1, 1 + (Hp - H) + (kh - 3)),
                 (1, W2a - W - 1), (0, 0))
