@@ -24,7 +24,10 @@ import numpy as np
 
 BASELINE_FPS = 0.1
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
-STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+# 30 steps/sync: the one mandatory sync readback costs ~39 ms over the
+# axon dev tunnel (an RPC artifact, not device time) — at 10 steps it
+# inflated every step by ~4 ms; at 30 it is ~1.3 ms (<3%) of a step
+STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 # int16 conv engine: "pallas" = fused exact-int16 s8-decomposed kernels
 # (the fast path on real TPU); "int32" = XLA s16 convs (same bits)
 COMPUTE = os.environ.get("BENCH_COMPUTE", "pallas")
@@ -57,9 +60,11 @@ def main() -> int:
                           outputs=("head", "boxes"))
     # Honest production shape: uint8 frames (what a camera/decoder hands
     # over — 4x cheaper on the host link; on-device /255 is bit-identical
-    # to the host loader's float division, yolo2_image_loader.c:34-80)
-    # with the input buffer DONATED, as the streaming engine runs it.
-    fn = jax.jit(lambda x: fwd(params, x), donate_argnums=(0,))
+    # to the host loader's float division, yolo2_image_loader.c:34-80).
+    # No donation: XLA cannot alias a uint8 input into any output of this
+    # program ("donated buffers were not usable" in BENCH_r01/r03 tails),
+    # so donating was an inert claim — dropped rather than carried.
+    fn = jax.jit(lambda x: fwd(params, x))
 
     base = rng.integers(0, 256, (BATCH, spec.net.height, spec.net.width, 3)
                         ).astype(np.uint8)

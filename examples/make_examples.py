@@ -41,6 +41,10 @@ def main():
     # a small one for fast tests
     Image.fromarray(make_scene(w=216, h=216, seed=7)).save(
         os.path.join(here, "small.png"))
+    # the canonical checked-in demo input (the repo's "dog.jpg"): lossless
+    # PNG so quantized inference is reproducible bit-for-bit everywhere
+    Image.fromarray(make_scene(w=768, h=576, seed=42)).save(
+        os.path.join(here, "demo.png"))
     print("examples written")
 
 

@@ -1,9 +1,17 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh so
 sharding/parallelism tests run without TPU hardware, and keep everything
-deterministic."""
+deterministic.
+
+Fast/slow split: tests marked ``@pytest.mark.slow`` (interpret-mode
+full-net kernel runs, the 500-step training fixture, reference-binary
+builds) are DESELECTED by default so a plain ``pytest -q tests/`` stays
+under ~5 minutes on this one-core box. Run them with ``--slow`` or
+``YOLO2_RUN_SLOW=1`` (CI / pre-release); both suites must stay green."""
 
 import os
 import sys
+
+import pytest
 
 # Force CPU. The ambient sitecustomize (/root/.axon_site) registers and
 # INITIALIZES the axon TPU backend at interpreter start, so env vars alone
@@ -23,6 +31,27 @@ _jax_api.clear_backends()
 assert jax.default_backend() == "cpu", jax.default_backend()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def pytest_addoption(parser):
+    parser.addoption("--slow", action="store_true", default=False,
+                     help="also run tests marked slow")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: expensive test (interpret-mode full net, long "
+        "training, reference-binary build); excluded by default")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow") or os.environ.get("YOLO2_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow (use --slow or YOLO2_RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 REFERENCE_DIR = "/root/reference"
 

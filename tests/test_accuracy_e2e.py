@@ -19,6 +19,8 @@ from yolotpu.runtime.engine import Engine
 from yolotpu.train import LossConfig, make_train_step, zeros_like_velocity
 from yolotpu.weights import WeightStore
 
+pytestmark = pytest.mark.slow
+
 MICRO_CFG = """
 [net]
 height=96

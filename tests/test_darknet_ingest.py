@@ -155,6 +155,7 @@ def test_truncated_and_trailing_fail(tmp_path, spec):
         darknet.read_darknet(spec, longer)
 
 
+@pytest.mark.slow
 def test_yolov2_full_graph_sizes(tmp_path):
     """The real yolov2 graph: blob sized exactly as the official 194 MB one
     implies (BN on every conv but the last)."""

@@ -1,6 +1,7 @@
 """On-device letterbox: bit-exact vs the host darknet implementation."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from yolotpu.image import letterbox_image
@@ -42,6 +43,7 @@ def test_device_letterbox_small_net():
     np.testing.assert_array_equal(got.transpose(2, 0, 1), want)
 
 
+@pytest.mark.slow
 def test_engine_raw_frames_match_host_letterbox():
     """predict_batch_raw_frames (device letterbox) == host letterbox path."""
     from yolotpu.models import zoo

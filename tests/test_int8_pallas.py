@@ -64,6 +64,7 @@ def test_conv_int8_matches_numpy_twin():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_int8_forward_runs_and_correlates_with_fp32():
     spec = zoo.build("yolov2", width=64, height=64)
     store = WeightStore.synthetic(spec, seed=0)
@@ -102,6 +103,7 @@ def test_int8_pallas_path_matches_xla_path():
     np.testing.assert_array_equal(got, a)
 
 
+@pytest.mark.slow
 def test_int8_jax_forward_bitexact_vs_golden():
     from yolotpu.golden import GoldenNet
     spec = zoo.build("yolov2", width=64, height=64)

@@ -59,6 +59,7 @@ def test_fp32_forward_matches_golden():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_int16_forward_bitexact_vs_golden_int32_mode():
     spec, store, img = _small_setup()
     act_q = calibrate_activations(spec, store, [img])
@@ -74,6 +75,7 @@ def test_int16_forward_bitexact_vs_golden_int32_mode():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_int16_f32_compute_mode_close_to_int32():
     """The f32 compute modes are *approximate*: f32 cannot represent odd
     integers above 2**24, so occasional requant ties flip by 1 LSB and then

@@ -1,6 +1,7 @@
 """On-device NMS vs darknet CPU NMS; mAP evaluator sanity."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from yolotpu import eval as yeval
@@ -112,6 +113,7 @@ def test_tpu_check_cpu():
     assert main(["enumerate", "alloc", "compute", "latency"]) == 0
 
 
+@pytest.mark.slow
 def test_engine_device_nms_matches_host_path():
     """device_nms engine and host postprocess agree on kept detections."""
     from yolotpu.models import zoo

@@ -197,6 +197,7 @@ def test_encoded_zero_padding_is_zero():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_full_net_pallas_bitexact_vs_golden():
     """The whole yolov2 graph under compute='pallas' (interpret mode on
     CPU) must equal the golden int32-mode forward bit-for-bit — the same
@@ -233,6 +234,7 @@ def test_full_net_pallas_bitexact_vs_golden():
     assert {"mm", "conv3", "xla"} <= kinds, kinds
 
 
+@pytest.mark.slow
 def test_full_net_dec8_bitexact(monkeypatch):
     """The whole graph with every XLA-routed 3x3 on the dec8 engine
     (three int8 MXU convs) == golden int32 bit-for-bit, including the
@@ -262,6 +264,7 @@ def test_full_net_dec8_bitexact(monkeypatch):
     assert "xla8" in kinds, kinds
 
 
+@pytest.mark.slow
 def test_full_net_pallas_bitexact_tiny():
     """yolov2-tiny through the pallas q16 path == golden, bit for bit
     (covers the stride-1 overlapping maxpool and small-C conv ladder)."""
@@ -388,6 +391,7 @@ def test_entry_sd_conv_pool_exact(shift, act):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_full_net_entry_sd_bitexact(monkeypatch):
     """Whole graph with the sd entry == golden int32 bit-for-bit (entry
     conv + pool fused through params_q16/build_forward)."""
@@ -498,6 +502,7 @@ def test_conv_int16_dec8_bitexact():
     (2, 26, 26, 128, 128),
     (1, 52, 52, 128, 256),   # abuf model must band this; wi hosts it whole
 ])
+@pytest.mark.slow
 def test_conv3_flat_wi_matches_abuf(B, H, W, C, N):
     """Weight-resident implicit-im2col path (whole-image geometries)
     == the abuf kernel bit-for-bit across output modes and plane input."""

@@ -27,9 +27,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from conftest import reference_path
 
-pytestmark = pytest.mark.skipif(
-    reference_path("src") is None or shutil.which("g++") is None,
-    reason="reference checkout or g++ unavailable")
+pytestmark = [
+    pytest.mark.slow,   # builds the reference host simulation with g++
+    pytest.mark.skipif(
+        reference_path("src") is None or shutil.which("g++") is None,
+        reason="reference checkout or g++ unavailable"),
+]
 
 
 @pytest.fixture(scope="module")

@@ -104,6 +104,7 @@ def test_opencv_video_reader(tiny_video):
     assert n == 8
 
 
+@pytest.mark.slow
 def test_stream_runner_end_to_end(tiny_video, tmp_path):
     """Golden-backend streaming on a tiny net: JSONL + annotated PNGs out."""
     from yolotpu.runtime.engine import Engine, load_or_synthesize
@@ -179,6 +180,7 @@ def test_profiler_tiny():
     assert rep.total_ms > 0
 
 
+@pytest.mark.slow
 def test_stream_runner_batched(tiny_video, tmp_path):
     """Batched double-buffered feed produces the same records as single."""
     from yolotpu.runtime.engine import Engine, load_or_synthesize
@@ -209,6 +211,7 @@ def test_stream_runner_batched(tiny_video, tmp_path):
         assert ra["detections"] == rb["detections"]
 
 
+@pytest.mark.slow
 def test_stream_runner_batched_device_nms(tiny_video, tmp_path):
     """Device-NMS batched streaming produces the same best-class records."""
     from yolotpu.runtime.engine import Engine, load_or_synthesize

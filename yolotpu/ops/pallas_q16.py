@@ -221,25 +221,34 @@ def wi_tn(H: int, W: int, cp: int, n: int, kh: int = 3,
 
 def prep_conv_weights(w16_hwio: np.ndarray, bias_shifted: np.ndarray,
                       cp: int | None = None, tn: int | None = None,
-                      vmem_budget: int | None = None):
+                      vmem_budget: int | None = None,
+                      tn_wi: int | None = None):
     """w16 (kh, kw, C, N) int16 -> dict for conv3x3_q16_requant.
 
     Layout (Np/tn, kh*kw*Cp, 2tn): block j holds every tap's [WH_j | WL_j],
     tap-major along sublanes. C pads to >=128 (consumer tensors are
     channel-padded to match); N pads to >=128.
+
+    ``tn_wi`` is the weight-resident path's N-tile HINT: it is honored only
+    when the wi path can actually run (balanced split AND YOLO2_Q16_WI
+    enabled); otherwise the abuf/banded budget rule picks tn, so disabling
+    wi at runtime never strands those kernels on a wi-sized tile.
     """
     kh, kw, C, N = w16_hwio.shape
     if vmem_budget is None:
         vmem_budget = _CONV_W_BUDGET
     cp = cp or max(_round_up(C, 8), LANE)
     np_ = max(_round_up(N, 64), LANE)
+    wp = np.zeros((kh * kw, cp, np_), np.int32)
+    wp[:, :C, :N] = w16_hwio.astype(np.int32).reshape(kh * kw, C, N)
+    hi, lo, bal = _split_w_np(wp)
+    wi_on = _os.environ.get("YOLO2_Q16_WI", "1") == "1"
+    if tn is None and tn_wi is not None and bal and wi_on:
+        tn = tn_wi
     if tn is None:
         tn = _pick_tile(np_, 512, 64)
         while kh * kw * cp * 2 * tn > vmem_budget and tn > 128:
             tn //= 2
-    wp = np.zeros((kh * kw, cp, np_), np.int32)
-    wp[:, :C, :N] = w16_hwio.astype(np.int32).reshape(kh * kw, C, N)
-    hi, lo, bal = _split_w_np(wp)
     jblocks = []
     for j in range(np_ // tn):
         jb = np.concatenate([hi[:, :, j * tn:(j + 1) * tn],

@@ -15,8 +15,8 @@ Backends:
 
 from __future__ import annotations
 
-import concurrent.futures
 import os
+import threading
 import time
 from dataclasses import dataclass
 
@@ -114,36 +114,54 @@ class Engine:
         key = (tag,) + tuple(getattr(a, "shape", None) for a in args)
         if not hasattr(self, "_seen_shapes"):
             self._seen_shapes = set()
-            self._guard_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1)
         if key not in self._seen_shapes:
             ms = max(ms, 900_000.0)
-        fut = self._guard_pool.submit(fn, *args)
-        try:
-            out = fut.result(timeout=ms / 1000.0)
-        except concurrent.futures.TimeoutError:
+
+        def dispatch():
+            """Run fn on a DAEMON thread so a genuinely hung device call
+            never blocks interpreter exit (a ThreadPoolExecutor worker is
+            non-daemon and is joined by the atexit hook). Returns
+            (ok, value_or_exc)."""
+            box: list = []
+
+            def work():
+                try:
+                    box.append((True, fn(*args)))
+                except BaseException as e:  # surfaced to the caller below
+                    box.append((False, e))
+
+            t = threading.Thread(target=work, daemon=True,
+                                 name=f"yolo2-watchdog-{tag}")
+            t.start()
+            t.join(timeout=ms / 1000.0)
+            if t.is_alive():
+                return None          # timed out; thread is abandoned
+            ok, val = box[0]
+            if not ok:
+                raise val
+            return (val,)
+
+        out = dispatch()
+        if out is None:
             # Recovery attempt before giving up, mirroring the reference
             # driver's timeout path (clear START, decode status, resume —
             # yolo2_accel_linux.c:350-377): re-dispatch the step ONCE on a
-            # fresh worker with a fresh deadline. A transient device-queue
-            # stall (e.g. a tunnel hiccup) clears; a truly hung program
-            # times out again and raises. The stuck worker thread is
-            # abandoned (daemon pool) — its eventual result is discarded.
+            # fresh daemon thread with a fresh deadline. A transient
+            # device-queue stall (e.g. a tunnel hiccup) clears; a truly
+            # hung program times out again and raises. The stuck worker is
+            # a daemon thread — it cannot block exit; its result (if it
+            # ever finishes) is discarded.
             ylog.info("watchdog: inference exceeded "
                       f"{ms:.0f} ms; attempting one re-dispatch "
                       "(yolo2_accel_linux.c:350-377 analog)")
-            self._guard_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1)
-            retry = self._guard_pool.submit(fn, *args)
-            try:
-                out = retry.result(timeout=ms / 1000.0)
-            except concurrent.futures.TimeoutError:
+            out = dispatch()
+            if out is None:
                 raise TimeoutError(
                     f"inference exceeded YOLO2_LAYER_TIMEOUT_MS={ms:.0f} ms "
                     "twice (watchdog; recovery re-dispatch also timed out)")
             ylog.info("watchdog: recovery re-dispatch succeeded")
         self._seen_shapes.add(key)
-        return out
+        return out[0]
 
     def predict(self, boxed_chw: np.ndarray) -> PredictResult:
         """Run one letterboxed (3, H, W) float image; returns the raw region

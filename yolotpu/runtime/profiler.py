@@ -25,6 +25,31 @@ class LayerTiming:
     type: str
     ms: float
     detail: str = ""
+    tops: float = 0.0    # achieved useful TOPS (2*MACs / time)
+    gbs: float = 0.0     # achieved HBM traffic GB/s (acts in+out + weights)
+
+
+def layer_ops_bytes(l, batch: int, elem_bytes: int = 2) -> tuple[float, float]:
+    """(useful ops, minimal HBM bytes) for one layer at the given batch —
+    the TPU analog of the reference report's DSP/BRAM utilization columns
+    (scripts/yolo2_report.py csynth parsing): here utilization is achieved
+    TOPS against the MXU and achieved GB/s against HBM."""
+    if isinstance(l, ConvSpec):
+        ops = 2.0 * batch * l.out_h * l.out_w * l.n * (l.c // l.groups) \
+            * l.size * l.size
+        bytes_ = elem_bytes * (batch * (l.h * l.w * l.c
+                                        + l.out_h * l.out_w * l.n)
+                               + l.size * l.size * l.c * l.n)
+        return ops, bytes_
+    if isinstance(l, MaxPoolSpec):
+        bytes_ = elem_bytes * batch * (l.h * l.w * l.c
+                                       + l.out_h * l.out_w * l.c)
+        return 0.0, bytes_
+    if isinstance(l, ReorgSpec):
+        return 0.0, 2 * elem_bytes * batch * l.h * l.w * l.c
+    if isinstance(l, RouteSpec):
+        return 0.0, 0.0
+    return 0.0, 0.0
 
 
 @dataclass
@@ -33,17 +58,27 @@ class ProfileReport:
     total_ms: float = 0.0
 
     def render(self) -> str:
-        """Mirror the reference's summary: total, slowest, top-10 table."""
+        """Mirror the reference's summary: total, slowest, top-10 table —
+        plus achieved TOPS / HBM GB/s per layer (utilization analog of the
+        csynth DSP/LUT/BRAM table the reference report parses)."""
         lines = []
         total = sum(t.ms for t in self.timings)
         lines.append(f"Total layer time: {total:.3f} ms")
         top = sorted(self.timings, key=lambda t: -t.ms)[:10]
         lines.append("Top 10 slowest layers:")
-        lines.append("  rank layer type           time(ms)   share")
+        lines.append("  rank layer type           time(ms)   share"
+                     "    TOPS   GB/s")
         for r, t in enumerate(top, 1):
             share = 100.0 * t.ms / total if total else 0.0
-            lines.append(f"  {r:4d} {t.idx:5d} {t.type:14s} {t.ms:8.3f}  {share:5.1f}%  {t.detail}")
+            lines.append(
+                f"  {r:4d} {t.idx:5d} {t.type:14s} {t.ms:8.3f}  "
+                f"{share:5.1f}%  {t.tops:6.1f} {t.gbs:6.0f}  {t.detail}")
         return "\n".join(lines)
+
+    def as_dicts(self) -> list[dict]:
+        return [{"idx": t.idx, "type": t.type, "ms": round(t.ms, 4),
+                 "tops": round(t.tops, 2), "gbs": round(t.gbs, 1),
+                 "detail": t.detail} for t in self.timings]
 
 
 def profile_layers(spec: NetworkSpec, store, precision: str = "fp32",
@@ -158,9 +193,15 @@ def profile_layers(spec: NetworkSpec, store, precision: str = "fp32",
                 cur = convops.dequantize_int16(cur, plan.output_q)
             ms = 0.0
         acts[l.idx] = cur
-        report.timings.append(LayerTiming(l.idx, l.type, ms, detail))
+        eb = {"int16": 2, "int8": 1}.get(precision, 4)
+        ops, byt = layer_ops_bytes(l, batch, eb)
+        t = LayerTiming(l.idx, l.type, ms, detail,
+                        tops=ops / ms / 1e9 if ms > 0 else 0.0,
+                        gbs=byt / ms / 1e6 if ms > 0 else 0.0)
+        report.timings.append(t)
         if progress:
-            print(f"  layer {l.idx:2d} {l.type:14s} {ms:8.3f} ms  {detail}",
+            print(f"  layer {l.idx:2d} {l.type:14s} {ms:8.3f} ms "
+                  f"{t.tops:6.1f} TOPS {t.gbs:6.0f} GB/s  {detail}",
                   flush=True)
     report.total_ms = sum(t.ms for t in report.timings)
     return report
@@ -255,10 +296,15 @@ def profile_prefix(spec: NetworkSpec, store, precision: str = "int16",
         if isinstance(l, ConvSpec):
             detail = (f"{l.size}x{l.size}/{l.stride} {l.c}->{l.n}"
                       + (f" [{kinds[l.idx]}]" if l.idx in kinds else ""))
-        report.timings.append(LayerTiming(l.idx, l.type, ms, detail))
+        eb = {"int16": 2, "int8": 1}.get(precision, 4)
+        ops, byt = layer_ops_bytes(l, batch, eb)
+        t = LayerTiming(l.idx, l.type, ms, detail,
+                        tops=ops / ms / 1e9 if ms > 0 else 0.0,
+                        gbs=byt / ms / 1e6 if ms > 0 else 0.0)
+        report.timings.append(t)
         if progress:
             print(f"  prefix {n:2d} {l.type:14s} cum {cur:8.3f} ms  "
-                  f"+{ms:7.3f}  {detail}", flush=True)
+                  f"+{ms:7.3f}  {t.tops:6.1f} TOPS  {detail}", flush=True)
         prev = cur
     report.total_ms = prev
     return report

@@ -87,9 +87,20 @@ class StreamRunner:
             budget = int(os.environ.get("YOLO2_READ_RETRIES", "30"))
         except ValueError:
             budget = 30
+        # Retry at roughly frame cadence, like the board app whose loop is
+        # paced by the V4L2 dequeue: a fast-failing (non-blocking) source
+        # must not burn the whole budget in microseconds on one transient
+        # hiccup. ~33 ms default; sources with their own blocking read are
+        # unaffected beyond the small extra sleep.
+        try:
+            delay_s = float(os.environ.get("YOLO2_READ_RETRY_MS", "33")) / 1e3
+        except ValueError:
+            delay_s = 0.033
         for attempt in range(budget):
             ylog.debug(f"camera read failed; skipping frame "
                        f"(retry {attempt + 1}/{budget})")
+            if delay_s > 0:
+                time.sleep(delay_s)
             frame = frame_source.read()
             if frame is not None:
                 return frame
