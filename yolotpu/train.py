@@ -139,10 +139,14 @@ def region_loss(head: jnp.ndarray, truth_boxes: jnp.ndarray,
 
 def make_train_step(spec: NetworkSpec, lr: float = 1e-3,
                     momentum: float = 0.9, cfg: LossConfig = LossConfig(),
-                    mesh=None):
+                    mesh=None, clip_norm: float = 0.0):
     """SGD+momentum training step over fp32 params (functional, jittable).
     Pass ``mesh`` when running tp-sharded so the forward pins its
-    reorg/route boundaries (avoids GSPMD involuntary rematerialization)."""
+    reorg/route boundaries (avoids GSPMD involuntary rematerialization).
+    ``clip_norm`` > 0 clips the global gradient norm — required for the
+    full 23-conv graph, whose BN is folded into the weights (the artifact
+    contract stores folded weights, weights/README.md:33-59), so nothing
+    renormalizes activations and early steps otherwise explode."""
     fwd = m.build_forward(spec, "fp32", outputs=("head",), mesh=mesh)
     rspec = spec.region
 
@@ -153,6 +157,12 @@ def make_train_step(spec: NetworkSpec, lr: float = 1e-3,
 
     def train_step(params, velocity, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        if clip_norm > 0:
+            gnorm = jnp.sqrt(sum(
+                jnp.sum(g.astype(jnp.float32) ** 2)
+                for g in jax.tree_util.tree_leaves(grads)))
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-9))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         new_v = jax.tree_util.tree_map(
             lambda v, g: momentum * v - lr * g, velocity, grads)
         new_p = jax.tree_util.tree_map(lambda p, v: p + v, params, new_v)
