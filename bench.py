@@ -46,7 +46,12 @@ def main() -> int:
     from yolotpu.quant import calibrate_activations, quantize_weights
     from yolotpu.weights import WeightStore
 
-    spec = zoo.build(MODEL)
+    # BENCH_WIDTH/HEIGHT: smoke-test the bench path at a reduced size
+    # (e.g. on the CPU interpreter); the official metric is the default 416
+    bw = os.environ.get("BENCH_WIDTH")
+    bh = os.environ.get("BENCH_HEIGHT")
+    spec = zoo.build(MODEL, width=int(bw) if bw else None,
+                     height=int(bh) if bh else None)
     store = WeightStore.synthetic(spec, seed=0)
     rng = np.random.default_rng(0)
     calib = [rng.random((3, spec.net.height, spec.net.width),

@@ -315,12 +315,24 @@ def main() -> int:
 
     if kind == "e2e":
         compute = arg
-        if compute == "pallas":
+        if compute == "int8":
+            # w8a8 turbo tier end-to-end (VERDICT r3 item 8)
+            from yolotpu.quant import (calibrate_activations_int8,
+                                       quantize_weights_int8)
+            act_q8 = calibrate_activations_int8(spec, store, calib)
+            quantize_weights_int8(store, act_q8)
+            params = m.params_int8(spec, store)
+            fwd = m.build_forward(spec, "int8", store.qtables8,
+                                  compute="pallas",
+                                  outputs=("head", "boxes"))
+        elif compute == "pallas":
             params = m.params_q16(spec, store)
         else:
             params = m.params_int16(spec, store)
-        fwd = m.build_forward(spec, "int16", store.qtables, compute=compute,
-                              outputs=("head", "boxes"))
+        if compute != "int8":
+            fwd = m.build_forward(spec, "int16", store.qtables,
+                                  compute=compute,
+                                  outputs=("head", "boxes"))
         fn = jax.jit(lambda v, p=params, f=fwd: f(p, v))
         xe = jnp.asarray(rng.random((B, 416, 416, 3), dtype=np.float32))
         xs = [xe + jnp.float32(i) * 1e-6 for i in range(8)]
