@@ -64,6 +64,28 @@ def test_conv_int8_matches_numpy_twin():
     np.testing.assert_array_equal(got, want)
 
 
+def test_conv_int8_pallas_3x3_bitexact(monkeypatch):
+    """The probe-gated int8 3x3 Pallas path (im2col + fused matmul kernel)
+    must be bit-identical to the XLA s8 conv it replaces."""
+    monkeypatch.setattr(convops, "_INT8_PALLAS_3X3", True)
+    rng = np.random.default_rng(5)
+    B, H, W, C, N = 2, 16, 16, 128, 128
+    x = rng.integers(-128, 128, (B, H, W, C)).astype(np.int8)
+    w = rng.integers(-128, 128, (3, 3, C, N)).astype(np.int8)
+    b = rng.integers(-1000, 1000, N).astype(np.int32)
+    for leaky in (True, False):
+        act = "leaky" if leaky else "linear"
+        got = np.asarray(convops.conv_int8(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), 1, 1, act, 7,
+            use_pallas=True))
+        monkeypatch.setattr(convops, "_INT8_PALLAS_3X3", False)
+        want = np.asarray(convops.conv_int8(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), 1, 1, act, 7,
+            use_pallas=True))
+        monkeypatch.setattr(convops, "_INT8_PALLAS_3X3", True)
+        np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.slow
 def test_int8_forward_runs_and_correlates_with_fp32():
     spec = zoo.build("yolov2", width=64, height=64)

@@ -64,7 +64,7 @@ def _mm_requant_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *,
 
 def matmul_int8_requant(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
                         shift_out: int, leaky: bool = True,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool | None = None) -> jnp.ndarray:
     """(M,K) int8 @ (K,N) int8 -> int8, with fused requant epilogue.
 
     bias: (N,) int32 already shifted into the output scale domain.
@@ -84,6 +84,8 @@ def matmul_int16_out_requant(x: jnp.ndarray, w: jnp.ndarray,
 
 def _matmul_requant(x, w, bias, shift_out, leaky, out_dtype, out_min,
                     out_max, interpret):
+    if interpret is None:   # auto: interpret off-TPU (CPU tests)
+        interpret = jax.default_backend() != "tpu"
     M, K = x.shape
     K2, N = w.shape
     assert K == K2 and bias.shape == (N,)
