@@ -1,63 +1,121 @@
-"""Engine plan: selection table, per-layer override, illegal-kind guard."""
+"""Engine plan: selection table, per-layer override, illegal-kind guard.
+
+Selection logic is tested against the REAL yolov2 graph through the pure
+``select_engine`` (no weight prep); the params/prep path runs on a micro
+cfg so the module stays in the fast gate (full-graph prep is covered by
+the slow full-net bit-exact tests)."""
 
 import numpy as np
 import pytest
 
+from yolotpu.graph import NetworkSpec
 from yolotpu.models import engine_plan as ep
 from yolotpu.models import yolov2 as m
 from yolotpu.models import zoo
-from yolotpu.quant import calibrate_activations, quantize_weights
+from yolotpu.quant import quantize_weights
 from yolotpu.weights import WeightStore
+
+MICRO_CFG = """
+[net]
+height=64
+width=64
+channels=3
+
+[convolutional]
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=128
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=64
+size=1
+stride=1
+pad=0
+activation=leaky
+
+[convolutional]
+filters=128
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[region]
+anchors=1.0,1.0, 2.0,2.0
+num=2
+classes=4
+coords=4
+softmax=1
+"""
 
 
 @pytest.fixture(scope="module")
-def small_spec_store():
-    spec = zoo.build("yolov2", width=64, height=64)
+def micro(tmp_path_factory):
+    d = tmp_path_factory.mktemp("plan")
+    cfg = d / "micro.cfg"
+    cfg.write_text(MICRO_CFG)
+    spec = NetworkSpec.from_cfg(str(cfg))
     store = WeightStore.synthetic(spec, seed=0)
-    rng = np.random.default_rng(0)
-    calib = [rng.random((3, 64, 64), dtype=np.float32)]
-    act_q = calibrate_activations(spec, store, calib)
+    act_q = [8] * (len(list(spec.conv_layers())) + 1)
     quantize_weights(store, act_q)
     return spec, store
 
 
-def test_default_plan_kinds(small_spec_store):
-    spec, store = small_spec_store
-    params = m.params_q16(spec, store)
-    kinds = {l.idx: params[f"conv{l.idx}"]["kind"]
-             for l in spec.conv_layers()}
-    # 1x1 layers always ride the fused matmul kernel
+def test_default_plan_kinds_real_yolov2():
+    """The measured default plan over the REAL flagship graph: mm for all
+    1x1, conv3/xla split by MAX_HW for 3x3, entry via the entry lever."""
+    spec = zoo.build("yolov2")
     for l in spec.conv_layers():
+        kind = ep.select_engine(l, spec, entry=m._Q16_ENTRY,
+                                max_hw=m._Q16_PALLAS_MAX_HW)
         if l.size == 1:
-            assert kinds[l.idx] == "mm", (l.idx, kinds[l.idx])
-    # large-spatial 3x3 -> xla under the default MAX_HW split;
-    # small-spatial 3x3 (C>=8) -> conv3
-    for l in spec.conv_layers():
-        if l.size == 3 and l.c >= 8:
+            assert kind == "mm", (l.idx, kind)
+        elif l.c < 8:
+            assert kind in ("xla", "entry_sd"), (l.idx, kind)
+        else:
             want = ("xla" if l.out_h * l.out_w > m._Q16_PALLAS_MAX_HW
                     else "conv3")
-            assert kinds[l.idx] == want, (l.idx, kinds[l.idx], want)
+            assert kind == want, (l.idx, kind, want)
 
 
-def test_plan_override_reroutes_layer(small_spec_store, monkeypatch):
-    spec, store = small_spec_store
-    # find a conv3-eligible layer and force it to xla; force an
-    # xla-routed 3x3 layer onto the dec8 engine
-    conv3_idx = next(l.idx for l in spec.conv_layers()
-                     if l.size == 3 and l.c >= 8
-                     and l.out_h * l.out_w <= m._Q16_PALLAS_MAX_HW)
-    xla_idx = next(l.idx for l in spec.conv_layers()
-                   if l.size == 3 and l.c >= 8
-                   and l.out_h * l.out_w > m._Q16_PALLAS_MAX_HW)
-    monkeypatch.setenv("YOLO2_Q16_PLAN",
-                       f"{conv3_idx}:xla, {xla_idx}:xla8")
+def test_entry_sd_selected_with_entry_lever():
+    spec = zoo.build("yolov2")
+    l0 = next(l for l in spec.conv_layers())
+    assert ep.select_engine(l0, spec, entry="sd", max_hw=676) == "entry_sd"
+    assert ep.select_engine(l0, spec, entry="xla", max_hw=676) == "xla"
+
+
+def test_plan_override_reroutes_layer(micro, monkeypatch):
+    spec, store = micro
+    convs = list(spec.conv_layers())
+    c3 = next(l.idx for l in convs if l.size == 3 and l.c >= 8)
+    monkeypatch.setenv("YOLO2_Q16_PLAN", f"{c3}:xla8")
     params = m.params_q16(spec, store)
-    assert params[f"conv{conv3_idx}"]["kind"] == "xla"
-    assert params[f"conv{xla_idx}"]["kind"] == "xla8"
+    assert params[f"conv{c3}"]["kind"] == "xla8"
+    monkeypatch.setenv("YOLO2_Q16_PLAN", f"{c3}:mm_patches")
+    params = m.params_q16(spec, store)
+    assert params[f"conv{c3}"]["kind"] == "mm_patches"
 
 
-def test_plan_override_illegal_kind_raises(small_spec_store, monkeypatch):
-    spec, store = small_spec_store
+def test_plan_override_illegal_kind_raises(micro, monkeypatch):
+    spec, store = micro
     one_by_one = next(l.idx for l in spec.conv_layers() if l.size == 1)
     # a 1x1 layer cannot run the 3x3 flat-band kernel: must raise, not
     # silently re-route (VERDICT r3 weak #4)
@@ -72,22 +130,13 @@ def test_plan_unknown_kind_rejected(monkeypatch):
         ep.plan_overrides()
 
 
-def test_entry_sd_selected_with_entry_lever(small_spec_store):
-    spec, _ = small_spec_store
-    l0 = next(l for l in spec.conv_layers())
-    kind = ep.select_engine(l0, spec, entry="sd", max_hw=676)
-    assert kind == "entry_sd"     # conv0 (C=3) + pool1 is fusable
-    kind_x = ep.select_engine(l0, spec, entry="xla", max_hw=676)
-    assert kind_x == "xla"
-
-
 @pytest.mark.slow
-def test_evidence_kind_bitexact_via_override(small_spec_store, monkeypatch):
+def test_evidence_kind_bitexact_via_override(micro, monkeypatch):
     """An evidence-only kind (mm_patches) selected through the override
     still produces bit-identical results — overrides change performance,
     never bits."""
     import jax.numpy as jnp
-    spec, store = small_spec_store
+    spec, store = micro
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
 
@@ -96,8 +145,7 @@ def test_evidence_kind_bitexact_via_override(small_spec_store, monkeypatch):
     base = np.asarray(fwd(m.params_q16(spec, store), x)["head"])
 
     tgt = next(l.idx for l in spec.conv_layers()
-               if l.size == 3 and l.c >= 8
-               and l.out_h * l.out_w <= m._Q16_PALLAS_MAX_HW)
+               if l.size == 3 and l.c >= 8)
     monkeypatch.setenv("YOLO2_Q16_PLAN", f"{tgt}:mm_patches")
     got = np.asarray(fwd(m.params_q16(spec, store), x)["head"])
     np.testing.assert_array_equal(got, base)
