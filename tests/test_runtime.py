@@ -177,7 +177,13 @@ def test_profiler_tiny():
     assert len(rep.timings) == spec.n
     txt = rep.render()
     assert "Top 10 slowest layers" in txt
+    assert "TOPS" in txt and "GB/s" in txt   # utilization columns
     assert rep.total_ms > 0
+    # conv rows carry achieved-TOPS/BW; structured export is json-ready
+    conv_rows = [t for t in rep.timings if t.type == "convolutional"]
+    assert any(t.tops > 0 for t in conv_rows)
+    d = rep.as_dicts()
+    assert len(d) == spec.n and {"idx", "ms", "tops", "gbs"} <= set(d[0])
 
 
 @pytest.mark.slow
