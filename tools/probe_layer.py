@@ -357,6 +357,42 @@ def main() -> int:
                           "compile_s": round(comp, 1)}), flush=True)
         return 0
 
+    if kind == "decomp":
+        # One-step bench decomposition (STATUS reconciliation table):
+        # times the uint8 prologue, the backbone (head only), the boxes
+        # epilogue, and the full bench-shaped program, all floor-subtracted.
+        compute = arg or "pallas"
+        params = (m.params_q16(spec, store) if compute == "pallas"
+                  else m.params_int16(spec, store))
+        xu8 = jnp.asarray(rng.integers(
+            0, 256, (B, 416, 416, 3)).astype(np.uint8))
+
+        def prologue(v):
+            xf = v.astype(jnp.float32) / 255.0
+            return convops.quantize_input_int16(xf, plan.input_q)
+        timed(jax.jit(prologue), variants(xu8), name="decomp:prologue")
+
+        fwd_h = m.build_forward(spec, "int16", store.qtables,
+                                compute=compute, outputs=("head",))
+        fh = jax.jit(lambda v: fwd_h(params, v)["head"])
+        timed(fh, variants(xu8), name="decomp:head_only")
+
+        from yolotpu.ops import region as region_ops
+        head = jnp.asarray(rng.random(
+            (B, 13, 13, 425), dtype=np.float32))
+
+        def boxes_ep(hv):
+            b_, o_, p_ = region_ops.decode_region(hv, spec.region)
+            return o_
+        timed(jax.jit(boxes_ep), variants(head), name="decomp:boxes_epi")
+
+        fwd_full = m.build_forward(spec, "int16", store.qtables,
+                                   compute=compute,
+                                   outputs=("head", "boxes"))
+        ff = jax.jit(lambda v: fwd_full(params, v))
+        timed(ff, variants(xu8), name="decomp:full")
+        return 0
+
     if kind in ("entryf", "entryfprep", "entryfdot"):
         # isolate the fused-entry cost: full forward vs XLA-side prep only
         l = convs["L00"]
