@@ -101,6 +101,15 @@ def main() -> int:
     med = float(np.median(times)) / STEPS
     fps = BATCH / med
 
+    # diagnostics to stderr (the driver records the tail): per-rep wall,
+    # derived ms/step, and the engine-plan env so a future number is
+    # attributable to its exact configuration
+    plan_env = {k: v for k, v in os.environ.items()
+                if k.startswith(("YOLO2_Q16", "YOLO2_INT8", "BENCH_"))}
+    print(f"# bench reps_s={[round(t, 3) for t in times]} "
+          f"ms_per_step={med * 1e3:.2f} batch={BATCH} steps={STEPS} "
+          f"compute={COMPUTE} env={plan_env}", file=sys.stderr, flush=True)
+
     print(json.dumps({
         "metric": f"{MODEL}_{spec.net.width}_int16_fps",
         "value": round(fps, 1),
