@@ -1,0 +1,98 @@
+"""Engine-plan measurement pass: sweep candidate configs, emit the plan.
+
+Runs the official in-program e2e probe (same construction as bench.py's
+program) across a grid of engine-plan configurations, STRICTLY ONE AT A
+TIME in fresh subprocesses (axon claim hygiene: a crashed TPU client
+poisons the grant; never two clients at once, never kill one). Emits a
+JSON evidence file and prints the winning configuration — the
+checked-in defaults in models/engine_plan.py are maintained from this
+pass's output.
+
+Usage:
+    python tools/plan_search.py [--batch 128] [--out plans/yolov2_416.json]
+
+Each configuration is expressed as env overrides, so reproducing any row
+is `env <overrides> python tools/probe_layer.py e2e:pallas`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+# the candidate grid: coarse split movements + entry formulation; add
+# per-layer YOLO2_Q16_PLAN rows when bisection narrows further
+CONFIGS = [
+    {"name": "default", "env": {}},
+    {"name": "wi_52", "env": {"YOLO2_Q16_PALLAS_MAX_HW": "2704"}},
+    {"name": "wi_104", "env": {"YOLO2_Q16_PALLAS_MAX_HW": "10816"}},
+    {"name": "wi_208", "env": {"YOLO2_Q16_PALLAS_MAX_HW": "43264"}},
+    {"name": "wi_52_sd", "env": {"YOLO2_Q16_PALLAS_MAX_HW": "2704",
+                                 "YOLO2_Q16_ENTRY": "sd"}},
+    {"name": "wi_104_sd", "env": {"YOLO2_Q16_PALLAS_MAX_HW": "10816",
+                                  "YOLO2_Q16_ENTRY": "sd"}},
+]
+
+
+def run_config(cfg: dict, batch: int) -> dict:
+    env = dict(os.environ)
+    env.update(cfg["env"])
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(HERE, "probe_layer.py"),
+         "e2e:pallas", str(batch)],
+        env=env, cwd=REPO, capture_output=True, text=True)
+    rec = {"name": cfg["name"], "env": cfg["env"],
+           "wall_s": round(time.time() - t0, 1), "rc": proc.returncode}
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec.update(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    if proc.returncode != 0:
+        rec["tail"] = proc.stderr.strip().splitlines()[-1:] or [""]
+    return rec
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "plans", "yolov2_416_v5e.json"))
+    ap.add_argument("--configs", default="",
+                    help="comma list of config names to run (default all)")
+    args = ap.parse_args(argv)
+
+    want = {c.strip() for c in args.configs.split(",") if c.strip()}
+    results = []
+    for cfg in CONFIGS:
+        if want and cfg["name"] not in want:
+            continue
+        print(f"== {cfg['name']} {cfg['env']}", flush=True)
+        rec = run_config(cfg, args.batch)
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
+    ok = [r for r in results if r.get("ms_per_step")]
+    best = min(ok, key=lambda r: r["ms_per_step"]) if ok else None
+    out = {"batch": args.batch, "results": results,
+           "winner": best["name"] if best else None,
+           "winner_env": best["env"] if best else None}
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {args.out}; winner: {out['winner']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
