@@ -223,8 +223,9 @@ def _flatten(d: dict, prefix: str = "") -> dict:
 
 
 def cmd_compare(args) -> int:
-    a = _flatten(json.load(open(os.path.join(args.report_dir, args.a, "metrics.json"))))
-    b = _flatten(json.load(open(os.path.join(args.report_dir, args.b, "metrics.json"))))
+    ja = json.load(open(os.path.join(args.report_dir, args.a, "metrics.json")))
+    jb = json.load(open(os.path.join(args.report_dir, args.b, "metrics.json")))
+    a, b = _flatten(ja), _flatten(jb)
     keys = sorted(set(a) | set(b))
     print(f"{'metric':42s} {args.a[:18]:>18s} {args.b[:18]:>18s}   delta")
     for k in keys:
@@ -235,6 +236,19 @@ def cmd_compare(args) -> int:
         if isinstance(va, (int, float)) and va:
             delta = f"{100.0 * (vb - va) / abs(va):+.1f}%"
         print(f"{k:42s} {va:>18} {vb:>18}   {delta}")
+    # per-layer utilization deltas when both bundles carry the table
+    pa = {t["idx"]: t for t in ja.get("per_layer") or []}
+    pb = {t["idx"]: t for t in jb.get("per_layer") or []}
+    common = sorted(set(pa) & set(pb))
+    if common:
+        print(f"\n{'layer':>5s} {'type':14s} {'ms A':>8s} {'ms B':>8s}"
+              f"   delta   detail")
+        for i in common:
+            ta, tb = pa[i], pb[i]
+            d = (f"{100.0 * (tb['ms'] - ta['ms']) / ta['ms']:+.1f}%"
+                 if ta["ms"] else "")
+            print(f"{i:5d} {ta['type']:14s} {ta['ms']:8.3f} "
+                  f"{tb['ms']:8.3f}   {d:>7s} {tb.get('detail', '')}")
     return 0
 
 
