@@ -254,7 +254,7 @@ def test_tp_sharded_int16_inference_bitexact():
 def test_pallas_q16_kernel_under_shard_map():
     """A q16 Pallas kernel runs under a (dp, tp) mesh via shard_map over
     the batch rows, bit-equal to unsharded (VERDICT r2 item 5b)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from yolotpu.ops import pallas_q16 as q16
 
@@ -273,7 +273,7 @@ def test_pallas_q16_kernel_under_shard_map():
     pfn = jax.jit(shard_map(piece, mesh=mesh,
                             in_specs=P(("dp", "tp"), None),
                             out_specs=P(("dp", "tp"), None),
-                            check_rep=False))
+                            check_vma=False))
     got = np.asarray(pfn(jnp.asarray(xq)))
     want = np.asarray(piece(jnp.asarray(xq)))
     np.testing.assert_array_equal(got, want)

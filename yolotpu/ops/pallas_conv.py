@@ -102,7 +102,7 @@ def conv3x3_int8_im2col(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
                           shift_out=shift_out, leaky=leaky),
         grid=(B, Hp // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9 * C, F), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((F,), lambda b, i: (0,), memory_space=pltpu.VMEM),
@@ -140,7 +140,7 @@ def conv3x3_int8(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
                           shift_out=shift_out, leaky=leaky),
         grid=(B, Hp // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
             pl.BlockSpec((9, C, F), lambda b, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((F,), lambda b, i: (0,), memory_space=pltpu.VMEM),

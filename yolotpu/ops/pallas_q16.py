@@ -446,8 +446,8 @@ def conv3x3p2_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
                           bal=wp.get("bal", False)),
         grid=(B, nbands),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((4, K, 2 * N), lambda b, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, N), lambda b, i: (0, 0),
@@ -824,8 +824,8 @@ def conv3x3_q16_flat(x, wp: dict, shift_out: int,
                   shift_out=shift_out, leaky=leaky,
                   bal=wp.get("bal", False))
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((1, K, 2 * tn), lambda b, i, j: (j, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, tn), lambda b, i, j: (j, 0, 0),
@@ -1195,8 +1195,8 @@ def entryf_forward(xq: jnp.ndarray, wp: dict, shift_out: int,
                           bal=wp.get("bal", False), n4=n4),
         grid=(B, nbands),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((wp["K"], 16 * N), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8 * N), lambda b, i: (0, 0),
@@ -1314,8 +1314,8 @@ def conv3x3p2f_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
                           bal=wp.get("bal", False)),
         grid=(B, nbands),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((4, K, 2 * N), lambda b, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, N), lambda b, i: (0, 0),
@@ -1717,8 +1717,8 @@ def conv3x3_q16_requant(x: jnp.ndarray, wp: dict, shift_out: int,
         kern,
         grid=(np_ // tn, B // G, nbands),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, kh * kw * Cp, 2 * tn), lambda j, b, i: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             # 2-D epilogue tables: see matmul_q16_requant
