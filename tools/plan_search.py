@@ -38,6 +38,11 @@ CONFIGS = [
                                  "YOLO2_Q16_ENTRY": "sd"}},
     {"name": "wi_104_sd", "env": {"YOLO2_Q16_PALLAS_MAX_HW": "10816",
                                   "YOLO2_Q16_ENTRY": "sd"}},
+    # the round-3 ledger's 50.7 ms row was a "big-split" config (the
+    # weight-resident conv3 path covering the large-spatial layers) whose
+    # exact env was not logged; these rows re-derive it
+    {"name": "wi_208_sd", "env": {"YOLO2_Q16_PALLAS_MAX_HW": "43264",
+                                  "YOLO2_Q16_ENTRY": "sd"}},
 ]
 
 
