@@ -77,11 +77,15 @@ def main(argv=None) -> int:
                     help="comma list of config names to run (default all)")
     args = ap.parse_args(argv)
 
-    want = {c.strip() for c in args.configs.split(",") if c.strip()}
+    # run in the order given on the command line (most promising first, so
+    # a mid-sweep TPU-grant loss still leaves the valuable rows measured)
+    want = [c.strip() for c in args.configs.split(",") if c.strip()]
+    by_name = {c["name"]: c for c in CONFIGS}
+    unknown = [n for n in want if n not in by_name]
+    if unknown:
+        ap.error(f"unknown config names: {unknown}")
     results = []
-    for cfg in CONFIGS:
-        if want and cfg["name"] not in want:
-            continue
+    for cfg in ([by_name[n] for n in want] if want else CONFIGS):
         print(f"== {cfg['name']} {cfg['env']}", flush=True)
         rec = run_config(cfg, args.batch)
         print(json.dumps(rec), flush=True)
