@@ -133,6 +133,42 @@ def test_flagship_fp32_learns_and_int16_within_criterion(trained_flagship):
     assert abs(r32["mAP_50"] - r16["mAP_50"]) <= 0.1, (r32, r16)
 
 
+def test_flagship_w8a16_within_criterion_int8_quantified(trained_flagship):
+    """8-bit tiers at flagship depth (evidence: tools/int8_accuracy_sweep.py,
+    STATUS round 4):
+
+    - w8a16 (per-channel int8 weights, int16 activations) must meet the
+      BASELINE 0.1-mAP criterion vs fp32 — measured 0.575 vs fp32's 0.417
+      on the sweep's training run (16-bit activations carry the accuracy;
+      8-bit per-channel weights cost ~nothing).
+    - w8a8 (8-bit activations) degrades at 23-conv depth under the po2
+      per-layer activation contract no matter the weight scales (sweep:
+      0.06-0.17 across margins/per-channel) — assert only the stable
+      ordering: it runs, detects something, and loses to w8a16.
+    """
+    from yolotpu.quant import (calibrate_activations_int8,
+                               quantize_weights_int8, quantize_weights_w8a16)
+    spec, store, pairs = trained_flagship
+    _quantize(spec, store, pairs)
+
+    from yolotpu.image import load_image
+    calib = [np.full((3, S, S), 0.5, np.float32), load_image(pairs[0][0])]
+
+    eng32 = Engine(spec, store, precision="fp32", backend="xla")
+    r32 = yeval.evaluate_engine(eng32, pairs, num_classes=80, thresh=0.05)
+
+    quantize_weights_w8a16(store, store.qtables.act_q)
+    eng_w8 = Engine(spec, store, precision="w8a16", backend="xla")
+    r_w8 = yeval.evaluate_engine(eng_w8, pairs, num_classes=80, thresh=0.05)
+    assert r_w8["mAP_50"] >= r32["mAP_50"] - 0.1, (r32, r_w8)
+
+    act_q8 = calibrate_activations_int8(spec, store, calib)
+    quantize_weights_int8(store, act_q8)
+    eng8 = Engine(spec, store, precision="int8", backend="xla")
+    r8 = yeval.evaluate_engine(eng8, pairs, num_classes=80, thresh=0.05)
+    assert 0.0 < r8["mAP_50"] <= r_w8["mAP_50"], (r8, r_w8)
+
+
 def test_flagship_pallas_map_identical_to_int32(trained_flagship):
     spec, store, pairs = trained_flagship
     _quantize(spec, store, pairs)

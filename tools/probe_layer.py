@@ -325,11 +325,19 @@ def main() -> int:
             fwd = m.build_forward(spec, "int8", store.qtables8,
                                   compute="pallas",
                                   outputs=("head", "boxes"))
+        elif compute == "w8a16":
+            # per-channel int8 weights x int16 activations (one s8 conv
+            # over batch-stacked planes — see ops/convops.conv_w8a16)
+            from yolotpu.quant import quantize_weights_w8a16
+            quantize_weights_w8a16(store, store.qtables.act_q)
+            params = m.params_w8a16(spec, store)
+            fwd = m.build_forward(spec, "w8a16", store.qtables_w8,
+                                  outputs=("head", "boxes"))
         elif compute == "pallas":
             params = m.params_q16(spec, store)
         else:
             params = m.params_int16(spec, store)
-        if compute != "int8":
+        if compute not in ("int8", "w8a16"):
             fwd = m.build_forward(spec, "int16", store.qtables,
                                   compute=compute,
                                   outputs=("head", "boxes"))

@@ -46,7 +46,7 @@ def build_argparser() -> argparse.ArgumentParser:
                     choices=["xla", "hls", "cpu", "golden"],
                     help="'hls' aliases to xla; 'cpu' to golden")
     ap.add_argument("--precision", default="fp32",
-                    choices=["fp32", "int16", "int8"])
+                    choices=["fp32", "int16", "int8", "w8a16"])
     ap.add_argument("--compute", default="int32",
                     choices=["int32", "pallas", "f32", "f32_highest",
                              "exact"],
@@ -57,6 +57,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--synthetic-weights", action="store_true",
                     help="generate seeded synthetic weights")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--net-size", type=int, default=None, metavar="N",
+                    help="override the network input size (zoo models only;"
+                         " off-TPU smoke runs — mirrors bench.py's"
+                         " BENCH_WIDTH/BENCH_HEIGHT)")
     ap.add_argument("-v", "--verbose", type=int, default=None)
     ap.add_argument("positional", nargs="?", default=None,
                     help="input image (positional)")
@@ -85,8 +89,10 @@ def main(argv: list[str] | None = None) -> int:
         print("error: no input image (use --input or positional)", file=sys.stderr)
         return 2
 
+    # quiet=False: unused-key warnings, like the reference parser
     spec = (NetworkSpec.from_cfg(args.cfg, quiet=False) if args.cfg
-            else zoo.build(args.model))   # quiet=False: unused-key warnings
+            else zoo.build(args.model, width=args.net_size,
+                           height=args.net_size))
     spec.describe()
 
     backend = {"hls": "xla", "cpu": "golden"}.get(args.backend, args.backend)

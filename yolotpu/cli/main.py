@@ -34,7 +34,7 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-n", "--nms", type=float, default=0.45)
     ap.add_argument("-v", "--verbose", type=int, default=None)
     ap.add_argument("--precision", default="int16",
-                    choices=["fp32", "int16", "int8"])
+                    choices=["fp32", "int16", "int8", "w8a16"])
     ap.add_argument("--backend", default="xla", choices=["xla", "golden"])
     ap.add_argument("--compute", default="int32")
     ap.add_argument("--synthetic-weights", action="store_true")

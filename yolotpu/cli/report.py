@@ -299,7 +299,7 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--label", default="run")
     runp.add_argument("--model", default="yolov2")
     runp.add_argument("--precision", default="int16",
-                      choices=["fp32", "int16", "int8"])
+                      choices=["fp32", "int16", "int8", "w8a16"])
     runp.add_argument("--compute", default="int32")
     runp.add_argument("--batch", type=int, default=16)
     runp.add_argument("--steps", type=int, default=10)

@@ -170,16 +170,24 @@ def sat16(x: np.ndarray) -> np.ndarray:
     return np.clip(x, -32768, 32767)
 
 
-def shift_round_half_up(v: np.ndarray, shift: int) -> np.ndarray:
+def shift_round_half_up(v: np.ndarray, shift) -> np.ndarray:
     """Arithmetic shift with round-half-up on right shifts, magnitude capped
-    at 30 (``core_compute.cpp:49-63``). Works on int64 arrays."""
-    if shift > 0:
-        mag = min(shift, 30)
-        return (v + (1 << (mag - 1))) >> mag
-    if shift < 0:
-        mag = min(-shift, 30)
-        return v << mag
-    return v
+    at 30 (``core_compute.cpp:49-63``). Works on int64 arrays. ``shift``
+    may be an array (broadcast against ``v``) — the per-channel int8
+    requant path."""
+    if np.ndim(shift) == 0:
+        shift = int(shift)
+        if shift > 0:
+            mag = min(shift, 30)
+            return (v + (1 << (mag - 1))) >> mag
+        if shift < 0:
+            mag = min(-shift, 30)
+            return v << mag
+        return v
+    s = np.clip(np.asarray(shift, np.int64), -30, 30)
+    half = np.where(s > 0, np.int64(1) << np.maximum(s - 1, 0), np.int64(0))
+    return np.where(s > 0, (v + half) >> np.maximum(s, 0),
+                    v << np.maximum(-s, 0))
 
 
 def leaky_int16(v: np.ndarray) -> np.ndarray:
@@ -267,15 +275,42 @@ def conv_int16_int32acc(x: np.ndarray, weights: np.ndarray, bias: np.ndarray,
     return v.astype(np.int16)
 
 
-def conv_int8_int32acc(x: np.ndarray, weights: np.ndarray, bias: np.ndarray,
-                       spec: ConvSpec, qw: int, qa_in: int, qa_out: int,
-                       qb: int) -> np.ndarray:
-    """numpy twin of the w8a8 turbo conv (ops.convops.conv_int8)."""
+def conv_w8a16_int32acc(x: np.ndarray, weights: np.ndarray, bias: np.ndarray,
+                        spec: ConvSpec, qw, qa_in: int, qa_out: int,
+                        qb) -> np.ndarray:
+    """numpy twin of the w8a16 tier conv (ops.convops.conv_w8a16): int16
+    activations x per-channel int8 weights, int32 accumulation, int16
+    output. The jax engine reconstructs the accumulation from (hi, lo) s8
+    planes mod 2^32; the true value fits int32 (shift cap), so plain int64
+    accumulation here is the same number."""
     cols = im2col(x.astype(np.int64), spec.size, spec.stride, spec.pad)
     acc = weights.reshape(spec.n, -1).astype(np.int64) @ cols
     acc = acc.reshape(spec.n, spec.out_h, spec.out_w)
-    bias_shifted = shift_round_half_up(bias.astype(np.int64), qb - qa_out)
-    v = shift_round_half_up(acc, qa_in + qw - qa_out) + bias_shifted.reshape(-1, 1, 1)
+    bias_shifted = shift_round_half_up(bias.astype(np.int64),
+                                       np.asarray(qb) - qa_out)
+    shift = qa_in + np.asarray(qw) - qa_out
+    if shift.ndim:
+        shift = shift.reshape(-1, 1, 1)
+    v = sat16(shift_round_half_up(acc, shift) + bias_shifted.reshape(-1, 1, 1))
+    if spec.activation == "leaky":
+        return leaky_int16(v.astype(np.int16)).astype(np.int16)
+    return v.astype(np.int16)
+
+
+def conv_int8_int32acc(x: np.ndarray, weights: np.ndarray, bias: np.ndarray,
+                       spec: ConvSpec, qw, qa_in: int, qa_out: int,
+                       qb) -> np.ndarray:
+    """numpy twin of the w8a8 turbo conv (ops.convops.conv_int8). ``qw``
+    and ``qb`` may be per-output-channel (n,) arrays (per-channel tier)."""
+    cols = im2col(x.astype(np.int64), spec.size, spec.stride, spec.pad)
+    acc = weights.reshape(spec.n, -1).astype(np.int64) @ cols
+    acc = acc.reshape(spec.n, spec.out_h, spec.out_w)
+    bias_shifted = shift_round_half_up(bias.astype(np.int64),
+                                       np.asarray(qb) - qa_out)
+    shift = qa_in + np.asarray(qw) - qa_out
+    if shift.ndim:
+        shift = shift.reshape(-1, 1, 1)
+    v = shift_round_half_up(acc, shift) + bias_shifted.reshape(-1, 1, 1)
     v = np.clip(v, -128, 127)
     if spec.activation == "leaky":
         v32 = v.astype(np.int32)
@@ -336,9 +371,11 @@ class GoldenNet:
           input; the next conv's Qa_in becomes that value.
 
         mode: "exact" (bit-exact reference semantics), "int32" (production
-        int16 tier), or "int8" (w8a8 turbo tier; pass int8 weights + q8
-        tables). Returns {layer_idx: quantized CHW}, plus the final region
-        layer's dequantized fp32 tensor under key ``self.spec.n - 1``.
+        int16 tier), "int8" (w8a8 turbo tier; pass int8 weights + q8
+        tables), or "w8a16" (int8 per-channel weights, int16 activations;
+        pass w8a16 weights + qtables_w8). Returns {layer_idx: quantized
+        CHW}, plus the final region layer's dequantized fp32 tensor under
+        key ``self.spec.n - 1``.
         """
         acts: dict[int, np.ndarray] = {}
         act_q: dict[int, int] = {}
@@ -365,7 +402,8 @@ class GoldenNet:
                 w, b = weights_q[l.idx]
                 conv_fn = {"exact": conv_int16_exact,
                            "int32": conv_int16_int32acc,
-                           "int8": conv_int8_int32acc}[mode]
+                           "int8": conv_int8_int32acc,
+                           "w8a16": conv_w8a16_int32acc}[mode]
                 cur = conv_fn(cur, w, b, l, qtab.weight_q[conv_i],
                               qa_in, qa_out, qtab.bias_q[conv_i])
                 cur_q = qa_out

@@ -72,6 +72,29 @@ def params_int8(spec: NetworkSpec, store: WeightStore) -> dict:
     return _params_quantized(spec, store.int8, store.qtables8)
 
 
+def params_w8a16(spec: NetworkSpec, store: WeightStore) -> dict:
+    """w8a16 tier parameters: per-channel int8 weights (HWIO), the
+    activation lo-plane correction ``cw``, and the pre-shifted bias."""
+    from ..ops.convops import prep_weights_w8a16
+    if store.qtables_w8 is None:
+        raise ValueError("w8a16 params require Q tables "
+                         "(quant.quantize_weights_w8a16)")
+    qt = store.qtables_w8
+    plan = Int16Plan.build(spec, qt)
+    p = {}
+    for ci, l in enumerate(spec.conv_layers()):
+        w, b = store.w8a16[l.idx]
+        w_hwio = w.transpose(2, 3, 1, 0)
+        shift_bias = qt.bias_q[ci] - plan.conv_qa_out[l.idx]
+        bias_shifted = _round_shift_np(b.astype(np.int64), shift_bias)
+        p[f"conv{l.idx}"] = {
+            "w": jnp.asarray(np.ascontiguousarray(w_hwio)),
+            "cw": jnp.asarray(prep_weights_w8a16(w_hwio)),
+            "b": jnp.asarray(bias_shifted.astype(np.int32)),
+        }
+    return p
+
+
 def _params_quantized(spec: NetworkSpec, wdict, qt: QTables) -> dict:
     plan = Int16Plan.build(spec, qt)
     p = {}
@@ -86,13 +109,20 @@ def _params_quantized(spec: NetworkSpec, wdict, qt: QTables) -> dict:
     return p
 
 
-def _round_shift_np(v: np.ndarray, shift: int) -> np.ndarray:
-    if shift > 0:
-        mag = min(shift, 30)
-        return (v + (1 << (mag - 1))) >> mag
-    if shift < 0:
-        return v << min(-shift, 30)
-    return v
+def _round_shift_np(v: np.ndarray, shift) -> np.ndarray:
+    if np.ndim(shift) == 0:
+        shift = int(shift)
+        if shift > 0:
+            mag = min(shift, 30)
+            return (v + (1 << (mag - 1))) >> mag
+        if shift < 0:
+            return v << min(-shift, 30)
+        return v
+    # per-channel bias Q (int8 per-channel tier): elementwise shift
+    s = np.clip(np.asarray(shift, np.int64), -30, 30)
+    half = np.where(s > 0, np.int64(1) << np.maximum(s - 1, 0), np.int64(0))
+    return np.where(s > 0, (v + half) >> np.maximum(s, 0),
+                    v << np.maximum(-s, 0))
 
 
 def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
@@ -404,13 +434,14 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
         debug = True
     region_spec = spec.region
     plan: Int16Plan | None = None
-    if precision in ("int16", "int8"):
+    if precision in ("int16", "int8", "w8a16"):
         if qtables is None:
             raise ValueError(f"{precision} forward requires Q tables")
         plan = Int16Plan.build(spec, qtables)
     elif precision != "fp32":
         raise ValueError(f"precision {precision!r}")
     is_int8 = precision == "int8"
+    is_w8a16 = precision == "w8a16"
     first_conv_idx = next(
         (l.idx for l in spec.layers if isinstance(l, ConvSpec)), -1)
 
@@ -497,6 +528,11 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                                             l.pad, l.activation,
                                             plan.conv_shift_out[l.idx],
                                             use_pallas=(compute == "pallas"))
+                elif is_w8a16:
+                    cur = convops.conv_w8a16(cur, pw["w"], pw["cw"],
+                                             pw["b"], l.stride, l.pad,
+                                             l.activation,
+                                             plan.conv_shift_out[l.idx])
                 elif compute == "pallas" and "kind" in pw:
                     from ..ops import pallas_q16 as q16
                     shift = plan.conv_shift_out[l.idx]

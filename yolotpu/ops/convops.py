@@ -24,6 +24,7 @@ import os as _os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 DN = ("NHWC", "HWIO", "NHWC")
@@ -111,6 +112,19 @@ def round_shift(v: jnp.ndarray, shift: int) -> jnp.ndarray:
     if shift < 0:
         return v << min(-shift, 30)
     return v
+
+
+def round_shift_vec(v: jnp.ndarray, shift) -> jnp.ndarray:
+    """``round_shift`` with a per-lane shift vector (broadcast against the
+    minor axis) — the per-channel int8 requant path. Semantics per lane are
+    identical to the static version (round-half-up right shift / plain left
+    shift, magnitude capped at 30)."""
+    s = jnp.asarray(shift, jnp.int32)
+    spos = jnp.clip(s, 0, 30)
+    half = jnp.where(s > 0,
+                     jnp.left_shift(jnp.int32(1), jnp.maximum(spos - 1, 0)),
+                     0)
+    return jnp.where(s > 0, (v + half) >> spos, v << jnp.clip(-s, 0, 30))
 
 
 def sat16(v: jnp.ndarray) -> jnp.ndarray:
@@ -328,8 +342,55 @@ def conv_int16_dec8(x, wh: jnp.ndarray, wl: jnp.ndarray,
     return v
 
 
+def prep_weights_w8a16(w8: "np.ndarray") -> "np.ndarray":
+    """Activation lo-plane offset correction for the w8a16 engine:
+    cw = 128 * sum_taps(w8) per output channel (int32, wraparound) — the
+    single-weight-plane analog of split_weights_dec8's cw."""
+    cw = (128 * np.asarray(w8).astype(np.int64).sum(axis=(0, 1, 2)))
+    return (cw & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+
+def conv_w8a16(x: jnp.ndarray, w8: jnp.ndarray, cw: jnp.ndarray,
+               bias_shifted: jnp.ndarray, stride: int, pad: int,
+               activation: str, shift_out) -> jnp.ndarray:
+    """w8a16 tier conv: int16 activations x int8 per-channel weights as ONE
+    s8xs8 MXU conv over batch-concatenated (hi, lo) activation planes.
+
+    x = 256*xh + (xl + 128) with xh = x >> 8, xl = (x & 255) - 128 (both
+    s8; an int16 zero — including SAME padding — encodes as (0, -128),
+    restored by the per-tap +128 folded into ``cw``). Both planes convolve
+    the SAME weight tensor, so they stack on the BATCH dim (one conv
+    dispatch, 2B batch — no weight re-streaming, no output-channel concat):
+        acc = (A(xh, w8) << 8) + A(xl, w8) + cw        (mod 2^32)
+    The true accumulation fits int32 (quantize_weights_w8a16 caps the
+    requant shift exactly like the int16 tier's Qw cap), so the wraparound
+    reconstruction is exact — the same contract conv_int16_dec8 proves for
+    the exact-s16 engine. Half dec8's MXU work (2 conv-units vs 4) because
+    8-bit weights need no hi/lo weight planes; the cost is ~1 weight LSB,
+    repaid by per-channel scales (quant.quantize_weights_w8a16).
+
+    ``shift_out``: int or per-output-channel (N,) vector.
+    """
+    rs = (round_shift if isinstance(shift_out, (int, np.integer))
+          else round_shift_vec)
+    xp, p = pad_same_darknet(x, w8.shape[0], stride, pad, jnp.int16(0))
+    xh = (xp >> 8).astype(jnp.int8)
+    xl = (jnp.bitwise_and(xp, 255) - 128).astype(jnp.int8)
+    b_ = x.shape[0]
+    a = lax.conv_general_dilated(
+        jnp.concatenate([xh, xl], axis=0), w8, (stride, stride), p,
+        dimension_numbers=DN, preferred_element_type=jnp.int32)
+    acc = (a[:b_] << 8) + a[b_:] + cw
+    v = sat16(rs(acc, shift_out) + bias_shifted)
+    if activation == "leaky":
+        v = sat16(leaky_int16(v))
+    elif activation != "linear":
+        raise NotImplementedError(f"w8a16 activation {activation}")
+    return v.astype(jnp.int16)
+
+
 def conv_int8(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
-              stride: int, pad: int, activation: str, shift_out: int,
+              stride: int, pad: int, activation: str, shift_out,
               use_pallas: bool = False) -> jnp.ndarray:
     """w8a8 turbo conv: int8 x int8 -> int32 on the MXU, one requant.
 
@@ -338,7 +399,14 @@ def conv_int8(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
     ~1.4x overall MXU throughput on v5e). 1x1 convs route to the Pallas
     fused matmul kernel (156 TOPS measured vs ~60 for XLA's int8 dot) when
     ``use_pallas`` and shapes allow.
+
+    ``shift_out`` is a python int (per-layer scales) or an (N,) array
+    (per-channel weight scales, quant.quantize_weights_int8 default): the
+    requant shift broadcasts over output channels in both the XLA and the
+    Pallas epilogues.
     """
+    rs = (round_shift if isinstance(shift_out, (int, np.integer))
+          else round_shift_vec)
     xp, p = pad_same_darknet(x, w.shape[0], stride, pad, jnp.int8(0))
     if w.shape[0] == 1 and w.shape[1] == 1 and stride == 1:
         b_, h_, w_, c_ = xp.shape
@@ -376,7 +444,7 @@ def conv_int8(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
         acc = lax.conv_general_dilated(xp, w, (stride, stride), p,
                                        dimension_numbers=DN,
                                        preferred_element_type=jnp.int32)
-    v = jnp.clip(round_shift(acc, shift_out) + bias_shifted, -128, 127)
+    v = jnp.clip(rs(acc, shift_out) + bias_shifted, -128, 127)
     if activation == "leaky":
         v = jnp.clip(leaky_int16(v), -128, 127)
     elif activation != "linear":

@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -62,12 +63,43 @@ def _mm_requant_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *,
         o_ref[:] = v.astype(out_dtype)
 
 
+def _mm_requant_kernel_vshift(x_ref, w_ref, b_ref, s_ref, o_ref, acc_ref, *,
+                              k_steps: int, leaky: bool,
+                              out_min: int, out_max: int, out_dtype):
+    """Per-output-channel requant shift (per-channel int8 weight scales):
+    the shift arrives as an (N,) int32 vector blocked like the bias and
+    broadcasts over the M axis in the epilogue."""
+    @pl.when(pl.program_id(2) == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == k_steps - 1)
+    def _epilogue():
+        acc = acc_ref[:]
+        s = s_ref[:][None, :]
+        spos = jnp.clip(s, 0, 30)
+        half = jnp.where(
+            s > 0, jnp.left_shift(jnp.int32(1), jnp.maximum(spos - 1, 0)), 0)
+        acc = jnp.where(s > 0, (acc + half) >> spos,
+                        acc << jnp.clip(-s, 0, 30))
+        v = jnp.clip(acc + b_ref[:], out_min, out_max)
+        if leaky:
+            neg = -((-v) // 10)
+            v = jnp.clip(jnp.where(v < 0, neg, v), out_min, out_max)
+        o_ref[:] = v.astype(out_dtype)
+
+
 def matmul_int8_requant(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
-                        shift_out: int, leaky: bool = True,
+                        shift_out, leaky: bool = True,
                         interpret: bool | None = None) -> jnp.ndarray:
     """(M,K) int8 @ (K,N) int8 -> int8, with fused requant epilogue.
 
     bias: (N,) int32 already shifted into the output scale domain.
+    shift_out: python int, or an (N,) per-output-channel shift vector
+    (per-channel int8 weight scales).
     """
     return _matmul_requant(x, w, bias, shift_out, leaky, jnp.int8,
                            -128, 127, interpret)
@@ -104,24 +136,37 @@ def _matmul_requant(x, w, bias, shift_out, leaky, out_dtype, out_min,
     Mp = M + pad_m
     k_steps = K // tk
 
+    vec_shift = not isinstance(shift_out, (int, np.integer))
+    vspec = pl.BlockSpec((tn,), lambda i, j, k: (j,),
+                         memory_space=pltpu.VMEM)
+    if vec_shift:
+        s = jnp.asarray(shift_out, jnp.int32)
+        assert s.shape == (N,), (s.shape, N)
+        kern = functools.partial(_mm_requant_kernel_vshift, k_steps=k_steps,
+                                 leaky=leaky, out_min=out_min,
+                                 out_max=out_max, out_dtype=out_dtype)
+        in_specs_tail, operands = [vspec, vspec], (bias, s)
+    else:
+        kern = functools.partial(_mm_requant_kernel, k_steps=k_steps,
+                                 shift_out=int(shift_out), leaky=leaky,
+                                 out_min=out_min, out_max=out_max,
+                                 out_dtype=out_dtype)
+        in_specs_tail, operands = [vspec], (bias,)
+
     out = pl.pallas_call(
-        functools.partial(_mm_requant_kernel, k_steps=k_steps,
-                          shift_out=shift_out, leaky=leaky,
-                          out_min=out_min, out_max=out_max,
-                          out_dtype=out_dtype),
+        kern,
         grid=(Mp // tm, N // tn, k_steps),
         in_specs=[
             pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn,), lambda i, j, k: (j,),
-                         memory_space=pltpu.VMEM),
+            *in_specs_tail,
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
         interpret=interpret,
-    )(x, w, bias)
+    )(x, w, *operands)
     return out[:M] if pad_m else out

@@ -84,23 +84,85 @@ def q8_for_absmax(absmax: float, margin: float = 1.0, limit: int = 15) -> int:
 
 def quantize_weights_int8(store: WeightStore, act_q8: list[int],
                           margin: float = 1.0,
-                          max_shift_out: int = 16) -> WeightStore:
-    """w8a8 turbo tier: int8 weights/biases with per-layer Qs at 8-bit
-    scales. Products <= 2^14 and sums <= ~2^28, so int32 accumulation is
-    always safe; the shift cap only bounds the requant rounding path."""
+                          max_shift_out: int = 16,
+                          per_channel: bool = True) -> WeightStore:
+    """w8a8 turbo tier: int8 weights/biases at 8-bit scales. Products <=
+    2^14 and sums <= ~2^28, so int32 accumulation is always safe; the
+    shift cap only bounds the requant rounding path.
+
+    ``per_channel=True`` (default): each OUTPUT CHANNEL gets its own
+    power-of-two weight/bias exponent, so a small-magnitude filter is no
+    longer quantized at the scale of the layer's largest one. Activations
+    keep the per-layer iofm table (the reference-style contract,
+    ``yolo2_model.cpp:311-321``); only the per-channel requant shift
+    differs, which every int8 engine applies as a lane-broadcast vector.
+    At 8 bits this is the difference between a demo tier and a usable one
+    (flagship-depth mAP 0.125 -> see STATUS round 4); at int16 the
+    per-layer contract already preserves mAP, so the exact tier keeps it.
+    ``per_channel=False`` reproduces the uniform per-layer scales.
+    """
     spec = store.spec
-    wq: list[int] = []
-    bq: list[int] = []
+    wq: list = []
+    bq: list = []
     for ci, l in enumerate(spec.conv_layers()):
         w, b = store.fp32[l.idx]
-        qw = q8_for_absmax(float(np.abs(w).max()), margin)
-        qw = min(qw, max_shift_out - act_q8[ci] + act_q8[ci + 1])
-        qb = q8_for_absmax(float(np.abs(b).max()) if b.size else 1.0, margin)
+        cap = max_shift_out - act_q8[ci] + act_q8[ci + 1]
+        if per_channel:
+            wmax = np.abs(w).reshape(w.shape[0], -1).max(axis=1)
+            bmax = np.abs(b) if b.size else np.ones(w.shape[0])
+            qw = np.array([min(q8_for_absmax(float(a), margin), cap)
+                           for a in wmax], np.int32)
+            qb = np.array([q8_for_absmax(float(a), margin) for a in bmax],
+                          np.int32)
+            store.int8[l.idx] = (
+                quantize_tensor_int8(w, qw.reshape(-1, 1, 1, 1)),
+                quantize_tensor_int8(b, qb))
+        else:
+            qw = min(q8_for_absmax(float(np.abs(w).max()), margin), cap)
+            qb = q8_for_absmax(float(np.abs(b).max()) if b.size else 1.0,
+                               margin)
+            store.int8[l.idx] = (quantize_tensor_int8(w, qw),
+                                 quantize_tensor_int8(b, qb))
         wq.append(qw)
         bq.append(qb)
-        store.int8[l.idx] = (quantize_tensor_int8(w, qw),
-                             quantize_tensor_int8(b, qb))
     store.qtables8 = QTables(weight_q=wq, bias_q=bq, act_q=list(act_q8))
+    return store
+
+
+def quantize_weights_w8a16(store: WeightStore, act_q: list[int],
+                           margin: float = 1.0,
+                           max_shift_out: int = 12) -> WeightStore:
+    """w8a16 tier: per-output-channel int8 weights against the INT16
+    activation iofm table (the same ``act_q`` the exact tier uses).
+
+    Activations keep full 16-bit precision, so the only quantization noise
+    added over the int16 tier is ~1 weight LSB — recovered almost entirely
+    by the per-channel exponents. The shift cap mirrors the int16 tier's
+    Qw cap (quantize_weights max_shift_out=12): the true accumulation
+    peaks near 2**(15+12), keeping the w8a16 engine's int32-wraparound
+    reconstruction exact (ops.convops.conv_w8a16).
+
+    Bias stays 16-bit (per-channel Q): it is added post-requant in the
+    output scale domain, so its precision is free.
+    """
+    spec = store.spec
+    wq: list = []
+    bq: list = []
+    for ci, l in enumerate(spec.conv_layers()):
+        w, b = store.fp32[l.idx]
+        cap = max_shift_out - act_q[ci] + act_q[ci + 1]
+        wmax = np.abs(w).reshape(w.shape[0], -1).max(axis=1)
+        bmax = np.abs(b) if b.size else np.ones(w.shape[0])
+        qw = np.array([min(q8_for_absmax(float(a), margin), cap)
+                       for a in wmax], np.int32)
+        qb = np.array([q_for_absmax(float(a), margin) for a in bmax],
+                      np.int32)
+        store.w8a16[l.idx] = (
+            quantize_tensor_int8(w, qw.reshape(-1, 1, 1, 1)),
+            quantize_tensor(b, qb))
+        wq.append(qw)
+        bq.append(qb)
+    store.qtables_w8 = QTables(weight_q=wq, bias_q=bq, act_q=list(act_q))
     return store
 
 

@@ -55,6 +55,8 @@ class Engine:
                              "(load int16 artifacts or calibrate+quantize)")
         if precision == "int8" and not store.int8:
             raise ValueError("int8 engine needs quantize_weights_int8")
+        if precision == "w8a16" and not store.w8a16:
+            raise ValueError("w8a16 engine needs quantize_weights_w8a16")
         if backend == "xla":
             from ..models import yolov2 as m
             t0 = time.time()
@@ -72,6 +74,11 @@ class Engine:
                 params = m.params_int8(spec, store)
                 fwd = m.build_forward(spec, "int8", store.qtables8, compute,
                                       outputs, thresh=thresh,
+                                      nms_thresh=nms, topk=topk)
+            elif precision == "w8a16":
+                params = m.params_w8a16(spec, store)
+                fwd = m.build_forward(spec, "w8a16", store.qtables_w8,
+                                      compute, outputs, thresh=thresh,
                                       nms_thresh=nms, topk=topk)
             else:
                 params = m.params_fp32(spec, store)
@@ -181,6 +188,11 @@ class Engine:
                 acts = self._golden.forward_int16(boxed_chw, self.store.int8,
                                                   self.store.qtables8,
                                                   mode="int8")
+            elif self.precision == "w8a16":
+                acts = self._golden.forward_int16(boxed_chw,
+                                                  self.store.w8a16,
+                                                  self.store.qtables_w8,
+                                                  mode="w8a16")
             else:
                 acts = self._golden.forward_fp32(boxed_chw, self.store.fp32)
             head = acts[self.spec.n - 1]
@@ -204,6 +216,10 @@ class Engine:
                 acts = self._golden.forward_int16(
                     boxed_chw, self.store.int8, self.store.qtables8,
                     keep_all=True, mode="int8")
+            elif self.precision == "w8a16":
+                acts = self._golden.forward_int16(
+                    boxed_chw, self.store.w8a16, self.store.qtables_w8,
+                    keep_all=True, mode="w8a16")
             else:
                 acts = self._golden.forward_fp32(boxed_chw, self.store.fp32,
                                                  keep_all=True)
@@ -215,6 +231,7 @@ class Engine:
             from ..models import yolov2 as m
             qt = (self.store.qtables if self.precision == "int16"
                   else self.store.qtables8 if self.precision == "int8"
+                  else self.store.qtables_w8 if self.precision == "w8a16"
                   else None)
             fwd = m.build_forward(self.spec, self.precision, qt,
                                   self.compute, outputs=("acts",))
@@ -429,7 +446,7 @@ def load_or_synthesize(spec: NetworkSpec, weights_dir: str | None,
 
     ylog.info(f"using synthetic weights (seed={seed})")
     store = WeightStore.synthetic(spec, seed=seed)
-    if precision in ("int16", "int8"):
+    if precision in ("int16", "int8", "w8a16"):
         if calib_images is None:
             rng = np.random.default_rng(seed)
             calib_images = [rng.random(
@@ -440,6 +457,9 @@ def load_or_synthesize(spec: NetworkSpec, weights_dir: str | None,
         if precision == "int8":
             from ..quant import quantize_weights_int8
             quantize_weights_int8(store, [q - 8 for q in act_q])
+        elif precision == "w8a16":
+            from ..quant import quantize_weights_w8a16
+            quantize_weights_w8a16(store, act_q)
     return store
 
 

@@ -115,8 +115,10 @@ class WeightStore:
     fp32: dict[int, tuple[np.ndarray, np.ndarray]] = field(default_factory=dict)
     int16: dict[int, tuple[np.ndarray, np.ndarray]] = field(default_factory=dict)
     int8: dict[int, tuple[np.ndarray, np.ndarray]] = field(default_factory=dict)
+    w8a16: dict[int, tuple[np.ndarray, np.ndarray]] = field(default_factory=dict)
     qtables: QTables | None = None          # int16 tier
     qtables8: QTables | None = None         # w8a8 turbo tier
+    qtables_w8: QTables | None = None       # w8a16 tier (int16 act iofm)
 
     # -- loading -----------------------------------------------------------
     @classmethod
