@@ -90,9 +90,12 @@ def test_conv_int8_perchannel_pallas_1x1_matches_xla():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_perchannel_scales_cut_weight_quant_error():
     """Per-channel exponents must reconstruct the fp32 weights strictly
-    better than one per-layer exponent when channel magnitudes vary."""
+    better than one per-layer exponent when channel magnitudes vary.
+    slow: two calibration passes (golden forwards) of the 64-input
+    graph."""
     spec = zoo.build("yolov2", width=64, height=64)
     store_pl = WeightStore.synthetic(spec, seed=0)
     # skew channel magnitudes so the per-layer absmax is a bad fit

@@ -66,7 +66,9 @@ def test_conv_w8a16_batch_plane_stacking():
         np.testing.assert_array_equal(got[i].transpose(2, 0, 1), want)
 
 
+@pytest.mark.slow
 def test_quantize_weights_w8a16_tables():
+    # slow: calibration runs a golden fp32 forward of the 64-input graph
     spec = zoo.build("yolov2", width=64, height=64)
     store = WeightStore.synthetic(spec, seed=0)
     img = np.random.default_rng(3).random((3, 64, 64)).astype(np.float32)
@@ -104,9 +106,11 @@ def test_w8a16_forward_bitexact_vs_golden():
     np.testing.assert_array_equal(head, g[spec.n - 1])
 
 
+@pytest.mark.slow
 def test_w8a16_head_tracks_fp32():
     """8-bit per-channel weights on 16-bit activations should track the
-    fp32 head closely (the accuracy rationale for the tier)."""
+    fp32 head closely (the accuracy rationale for the tier). slow: two
+    full golden forwards of the 64-input graph."""
     spec = zoo.build("yolov2", width=64, height=64)
     store = WeightStore.synthetic(spec, seed=0)
     rng = np.random.default_rng(5)

@@ -85,21 +85,21 @@ def q8_for_absmax(absmax: float, margin: float = 1.0, limit: int = 15) -> int:
 def quantize_weights_int8(store: WeightStore, act_q8: list[int],
                           margin: float = 1.0,
                           max_shift_out: int = 16,
-                          per_channel: bool = True) -> WeightStore:
+                          per_channel: bool = False) -> WeightStore:
     """w8a8 turbo tier: int8 weights/biases at 8-bit scales. Products <=
     2^14 and sums <= ~2^28, so int32 accumulation is always safe; the
     shift cap only bounds the requant rounding path.
 
-    ``per_channel=True`` (default): each OUTPUT CHANNEL gets its own
-    power-of-two weight/bias exponent, so a small-magnitude filter is no
-    longer quantized at the scale of the layer's largest one. Activations
-    keep the per-layer iofm table (the reference-style contract,
-    ``yolo2_model.cpp:311-321``); only the per-channel requant shift
-    differs, which every int8 engine applies as a lane-broadcast vector.
-    At 8 bits this is the difference between a demo tier and a usable one
-    (flagship-depth mAP 0.125 -> see STATUS round 4); at int16 the
-    per-layer contract already preserves mAP, so the exact tier keeps it.
-    ``per_channel=False`` reproduces the uniform per-layer scales.
+    ``per_channel=True``: each OUTPUT CHANNEL gets its own power-of-two
+    weight/bias exponent (requant shift becomes a lane-broadcast vector
+    in every int8 engine). Measured at flagship depth
+    (tools/int8_accuracy_sweep.py): NOT reliably better for w8a8 — the
+    8-bit per-layer ACTIVATION scales dominate the error (per-channel
+    0.06/0.19/0.28 vs per-layer 0.16/0.28/0.26 across calibration
+    margins) — so the default stays the uniform per-layer scales that
+    mirror the reference artifact contract (``yolo2_model.cpp:311-321``).
+    Per-channel is where it IS load-bearing in ``quantize_weights_w8a16``
+    (16-bit activations: weights are the only noise source).
     """
     spec = store.spec
     wq: list = []
@@ -168,8 +168,13 @@ def quantize_weights_w8a16(store: WeightStore, act_q: list[int],
 
 def calibrate_activations_int8(spec: NetworkSpec, store: WeightStore,
                                images_chw: list[np.ndarray],
-                               margin: float = 2.0) -> list[int]:
-    """iofm table at int8 scales (same graph-consistency rules)."""
+                               margin: float = 1.4) -> list[int]:
+    """iofm table at int8 scales (same graph-consistency rules).
+
+    Default margin 1.4, NOT the int16 tier's 2.0: at 8 bits the half-bit
+    of headroom costs real signal — flagship-depth mAP 0.28 at margin 1.4
+    vs 0.16 at 2.0 (tools/int8_accuracy_sweep.py; saturation from the
+    tighter margin is the lesser evil)."""
     act_q16 = calibrate_activations(spec, store, images_chw, margin)
     # identical absmax statistics, 8-bit headroom: q8 = q16 - 8
     return [q - 8 for q in act_q16]

@@ -455,8 +455,12 @@ def load_or_synthesize(spec: NetworkSpec, weights_dir: str | None,
         act_q = calibrate_activations(spec, store, calib_images)
         quantize_weights(store, act_q)
         if precision == "int8":
-            from ..quant import quantize_weights_int8
-            quantize_weights_int8(store, [q - 8 for q in act_q])
+            # int8 activations calibrate at their own margin (1.4, not the
+            # int16 tier's 2.0 — see quant.calibrate_activations_int8)
+            from ..quant import (calibrate_activations_int8,
+                                 quantize_weights_int8)
+            act_q8 = calibrate_activations_int8(spec, store, calib_images)
+            quantize_weights_int8(store, act_q8)
         elif precision == "w8a16":
             from ..quant import quantize_weights_w8a16
             quantize_weights_w8a16(store, act_q)
