@@ -66,6 +66,50 @@ def test_conv_w8a16_batch_plane_stacking():
         np.testing.assert_array_equal(got[i].transpose(2, 0, 1), want)
 
 
+@pytest.mark.parametrize("M,act", [(512, "leaky"), (300, "linear")])
+def test_matmul_w8a16_kernel_matches_xla_conv(M, act):
+    """The fused w8a16 Pallas 1x1 engine (two s8 dots per streamed weight
+    tile) must be bit-identical to the XLA plane-stacked conv path,
+    including M padding and per-channel shifts."""
+    from yolotpu.ops.pallas_matmul import matmul_w8a16_requant
+    rng = np.random.default_rng(7)
+    K, N = 128, 128
+    x = rng.integers(-32768, 32768, (M, K)).astype(np.int16)
+    w = rng.integers(-128, 128, (1, 1, K, N)).astype(np.int8)
+    b = rng.integers(-30000, 30000, N).astype(np.int32)
+    s = rng.integers(0, 12, N).astype(np.int32)
+    cw = convops.prep_weights_w8a16(w)
+    want = np.asarray(convops.conv_w8a16(
+        jnp.asarray(x.reshape(1, 1, M, K)), jnp.asarray(w),
+        jnp.asarray(cw), jnp.asarray(b), 1, 0, act, s,
+        use_pallas=False)).reshape(M, N)
+    got = np.asarray(matmul_w8a16_requant(
+        jnp.asarray(x), jnp.asarray(w.reshape(K, N)), jnp.asarray(cw),
+        jnp.asarray(b), jnp.asarray(s), leaky=(act == "leaky"),
+        interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_w8a16_pallas_forward_equals_xla_forward():
+    """Full-net compute='pallas' (1x1 layers on the fused kernel,
+    interpret mode on CPU) must equal the XLA w8a16 forward bit-for-bit."""
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    rng = np.random.default_rng(11)
+    img = rng.random((3, 64, 64)).astype(np.float32)
+    act_q = calibrate_activations(spec, store, [img])
+    quantize_weights_w8a16(store, act_q)
+    params = yolov2.params_w8a16(spec, store)
+    x = jnp.asarray(img.transpose(1, 2, 0)[None])
+    fx = yolov2.build_forward(spec, "w8a16", store.qtables_w8,
+                              outputs=("head",))
+    fpl = yolov2.build_forward(spec, "w8a16", store.qtables_w8,
+                               compute="pallas", outputs=("head",))
+    np.testing.assert_array_equal(np.asarray(fpl(params, x)["head"]),
+                                  np.asarray(fx(params, x)["head"]))
+
+
 @pytest.mark.slow
 def test_quantize_weights_w8a16_tables():
     # slow: calibration runs a golden fp32 forward of the 64-input graph

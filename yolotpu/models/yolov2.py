@@ -532,7 +532,8 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                     cur = convops.conv_w8a16(cur, pw["w"], pw["cw"],
                                              pw["b"], l.stride, l.pad,
                                              l.activation,
-                                             plan.conv_shift_out[l.idx])
+                                             plan.conv_shift_out[l.idx],
+                                             use_pallas=(compute == "pallas"))
                 elif compute == "pallas" and "kind" in pw:
                     from ..ops import pallas_q16 as q16
                     shift = plan.conv_shift_out[l.idx]

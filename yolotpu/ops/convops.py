@@ -352,7 +352,8 @@ def prep_weights_w8a16(w8: "np.ndarray") -> "np.ndarray":
 
 def conv_w8a16(x: jnp.ndarray, w8: jnp.ndarray, cw: jnp.ndarray,
                bias_shifted: jnp.ndarray, stride: int, pad: int,
-               activation: str, shift_out) -> jnp.ndarray:
+               activation: str, shift_out,
+               use_pallas: bool = False) -> jnp.ndarray:
     """w8a16 tier conv: int16 activations x int8 per-channel weights as ONE
     s8xs8 MXU conv over batch-concatenated (hi, lo) activation planes.
 
@@ -374,6 +375,18 @@ def conv_w8a16(x: jnp.ndarray, w8: jnp.ndarray, cw: jnp.ndarray,
     rs = (round_shift if isinstance(shift_out, (int, np.integer))
           else round_shift_vec)
     xp, p = pad_same_darknet(x, w8.shape[0], stride, pad, jnp.int16(0))
+    if (use_pallas and w8.shape[0] == 1 and w8.shape[1] == 1 and stride == 1
+            and x.shape[-1] % 128 == 0 and w8.shape[3] % 128 == 0
+            and activation in ("leaky", "linear")):
+        # 1x1: the fused Pallas matmul (two s8 dots per streamed weight
+        # tile, requant in VMEM — the w8a16 analog of matmul_int8_requant)
+        from .pallas_matmul import matmul_w8a16_requant
+        b_, h_, w_, c_ = xp.shape
+        f_ = w8.shape[3]
+        v = matmul_w8a16_requant(xp.reshape(-1, c_), w8.reshape(c_, f_),
+                                 cw, bias_shifted, shift_out,
+                                 leaky=(activation == "leaky"))
+        return v.reshape(b_, h_, w_, f_)
     xh = (xp >> 8).astype(jnp.int8)
     xl = (jnp.bitwise_and(xp, 255) - 128).astype(jnp.int8)
     b_ = x.shape[0]

@@ -92,6 +92,97 @@ def _mm_requant_kernel_vshift(x_ref, w_ref, b_ref, s_ref, o_ref, acc_ref, *,
         o_ref[:] = v.astype(out_dtype)
 
 
+def _mm_w8a16_kernel(xh_ref, xl_ref, w_ref, b_ref, s_ref, cw_ref, o_ref,
+                     acc_ref, *, k_steps: int, leaky: bool):
+    """w8a16 fused matmul: int16 activations arrive pre-split as (hi, lo)
+    s8 planes; each K step runs TWO s8 dots against ONE streamed weight
+    tile (the hi dot's <<8 is folded at accumulate time, so the epilogue
+    is the standard requant). cw is the lo-plane +128 offset correction
+    (ops.convops.prep_weights_w8a16); the true accumulation fits int32
+    (quantize_weights_w8a16 shift cap), making int32 wraparound exact."""
+    @pl.when(pl.program_id(2) == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += (
+        (jnp.dot(xh_ref[:], w_ref[:], preferred_element_type=jnp.int32) << 8)
+        + jnp.dot(xl_ref[:], w_ref[:], preferred_element_type=jnp.int32))
+
+    @pl.when(pl.program_id(2) == k_steps - 1)
+    def _epilogue():
+        acc = acc_ref[:] + cw_ref[:][None, :]
+        s = s_ref[:][None, :]
+        spos = jnp.clip(s, 0, 30)
+        half = jnp.where(
+            s > 0, jnp.left_shift(jnp.int32(1), jnp.maximum(spos - 1, 0)), 0)
+        acc = jnp.where(s > 0, (acc + half) >> spos,
+                        acc << jnp.clip(-s, 0, 30))
+        v = jnp.clip(acc + b_ref[:], -32768, 32767)
+        if leaky:
+            neg = -((-v) // 10)
+            v = jnp.clip(jnp.where(v < 0, neg, v), -32768, 32767)
+        o_ref[:] = v.astype(jnp.int16)
+
+
+def matmul_w8a16_requant(x: jnp.ndarray, w: jnp.ndarray, cw: jnp.ndarray,
+                         bias: jnp.ndarray, shift_out,
+                         leaky: bool = True,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """(M,K) int16 @ (K,N) int8 -> int16 via hi/lo s8 plane dots with a
+    fused per-channel requant epilogue (the w8a16 tier's 1x1 engine).
+
+    bias: (N,) int32 pre-shifted into the output scale domain.
+    cw: (N,) int32 lo-plane offset correction (prep_weights_w8a16).
+    shift_out: int or (N,) per-output-channel vector.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    M, K = x.shape
+    K2, N = w.shape
+    assert K == K2 and bias.shape == (N,) and cw.shape == (N,)
+
+    xh = (x >> 8).astype(jnp.int8)
+    xl = (jnp.bitwise_and(x, 255) - 128).astype(jnp.int8)
+
+    tm = _pick_tile(M, 512, 32)
+    tn = _pick_tile(N, 512, 128)
+    tk = _pick_tile(K, 512, 128) if K % 128 == 0 else K
+    if N % tn or K % tk:
+        raise ValueError(f"matmul_w8a16: N={N} K={K} must tile by "
+                         f"(tn={tn}, tk={tk}); pad N/K to multiples of 128")
+    pad_m = (-M) % tm
+    if pad_m:
+        # int16 zero encodes as (hi 0, lo -128); cw restores the +128
+        xh = jnp.pad(xh, ((0, pad_m), (0, 0)))
+        xl = jnp.pad(xl, ((0, pad_m), (0, 0)), constant_values=-128)
+    Mp = M + pad_m
+    k_steps = K // tk
+
+    s = (jnp.full((N,), int(shift_out), jnp.int32)
+         if isinstance(shift_out, (int, np.integer))
+         else jnp.asarray(shift_out, jnp.int32))
+    xspec = pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((tn,), lambda i, j, k: (j,),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mm_w8a16_kernel, k_steps=k_steps, leaky=leaky),
+        grid=(Mp // tm, N // tn, k_steps),
+        in_specs=[
+            xspec, xspec,
+            pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            vspec, vspec, vspec,
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        interpret=interpret,
+    )(xh, xl, w, bias, s, cw)
+    return out[:M] if pad_m else out
+
+
 def matmul_int8_requant(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
                         shift_out, leaky: bool = True,
                         interpret: bool | None = None) -> jnp.ndarray:
