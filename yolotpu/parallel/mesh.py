@@ -70,6 +70,39 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp", None, None, None))
 
 
+def make_mesh_sp(n_devices: int | None = None, devices=None,
+                 sp: int | None = None) -> Mesh:
+    """(dp, sp) mesh for SPATIALLY partitioned inference: activations
+    shard on the H dimension and GSPMD materializes the conv/pool halo
+    exchanges (`collective-permute` of the one-row overlap per 3x3 conv).
+    The conv-net analog of sequence parallelism: it serves inputs whose
+    activations outgrow one chip's HBM (e.g. megapixel frames at the
+    entry stage, where YOLOv2's 416x416x32 int16 activation is 11 MiB but
+    a 4Kx4K frame's would be 1 GiB) without touching the model code —
+    int32-accum convs are deterministic, so a spatially-sharded run is
+    bit-equal to the replicated one (tests/test_spatial_sharding.py).
+
+    ``sp`` defaults to the largest power of two <= n that keeps H
+    divisibility practical (callers pick sp to divide their sharded H)."""
+    devices = devices if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    if sp is None:
+        # cap sp at 4: deep layers shrink H (416 -> 13), and each extra sp
+        # shard adds a halo row per 3x3 conv — beyond 4 ways the halo
+        # overhead dominates before HBM pressure ever does
+        sp = 1
+        while sp * 2 <= 4 and n % (sp * 2) == 0:
+            sp *= 2
+    dp = n // sp
+    arr = np.array(devices[:n]).reshape(dp, sp)
+    return Mesh(arr, axis_names=("dp", "sp"))
+
+
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC batch on a (dp, sp) mesh: N over dp, H over sp."""
+    return NamedSharding(mesh, P("dp", "sp", None, None))
+
+
 def shard_params(params: dict, mesh: Mesh) -> dict:
     sh = param_shardings(params, mesh)
     return jax.tree_util.tree_map(
