@@ -90,6 +90,31 @@ def test_matmul_w8a16_kernel_matches_xla_conv(M, act):
     np.testing.assert_array_equal(got, want)
 
 
+def test_conv_w8a16_pallas_3x3_bitexact(monkeypatch):
+    """The probe-gated w8a16 3x3 Pallas path (im2col + fused w8a16 matmul)
+    must be bit-identical to the plane-stacked XLA conv it replaces,
+    including SAME-padding taps (int16 zero -> (0,-128) planes, restored
+    by the tap-summed cw)."""
+    monkeypatch.setattr(convops, "_W8A16_PALLAS_3X3", True)
+    rng = np.random.default_rng(13)
+    B, H, W, C, N = 2, 8, 8, 128, 128
+    x = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    w = rng.integers(-128, 128, (3, 3, C, N)).astype(np.int8)
+    b = rng.integers(-30000, 30000, N).astype(np.int32)
+    s = rng.integers(0, 12, N).astype(np.int32)
+    cw = convops.prep_weights_w8a16(w)
+    for act in ("leaky", "linear"):
+        got = np.asarray(convops.conv_w8a16(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(cw), jnp.asarray(b),
+            1, 1, act, s, use_pallas=True))
+        monkeypatch.setattr(convops, "_W8A16_PALLAS_3X3", False)
+        want = np.asarray(convops.conv_w8a16(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(cw), jnp.asarray(b),
+            1, 1, act, s, use_pallas=True))
+        monkeypatch.setattr(convops, "_W8A16_PALLAS_3X3", True)
+        np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.slow
 def test_w8a16_pallas_forward_equals_xla_forward():
     """Full-net compute='pallas' (1x1 layers on the fused kernel,

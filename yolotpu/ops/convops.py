@@ -33,6 +33,10 @@ DN = ("NHWC", "HWIO", "NHWC")
 # kernel instead of XLA's s8 conv (probe-gated until measured in-program)
 _INT8_PALLAS_3X3 = _os.environ.get("YOLO2_INT8_PALLAS_3X3", "0") == "1"
 
+# w8a16 tier: same probe gate for its 3x3 layers (18 B/elem patch reads
+# vs MXU-dense dots — the in-program bisection decides per layer class)
+_W8A16_PALLAS_3X3 = _os.environ.get("YOLO2_W8A16_PALLAS_3X3", "0") == "1"
+
 # int16 conv compute implementations
 COMPUTE_MODES = ("int32", "f32", "f32_highest")
 
@@ -387,6 +391,25 @@ def conv_w8a16(x: jnp.ndarray, w8: jnp.ndarray, cw: jnp.ndarray,
                                  cw, bias_shifted, shift_out,
                                  leaky=(activation == "leaky"))
         return v.reshape(b_, h_, w_, f_)
+    if (use_pallas and _W8A16_PALLAS_3X3
+            and w8.shape[0] == 3 and w8.shape[1] == 3 and stride == 1
+            and pad == 1 and x.shape[-1] % 128 == 0
+            and w8.shape[3] % 128 == 0
+            and activation in ("leaky", "linear")):
+        # 3x3 via XLA-built im2col + the fused w8a16 matmul kernel. cw is
+        # tap-summed already (prep_weights_w8a16 sums over kh,kw,C), so the
+        # (M, 9C) patch matmul reuses it unchanged.
+        from .pallas_matmul import matmul_w8a16_requant
+        b_, h_, w2_, c_ = x.shape
+        taps = [xp[:, dy:dy + h_, dx:dx + w2_, :]
+                for dy in range(3) for dx in range(3)]
+        pq = jnp.concatenate(taps, axis=-1)            # (B,H,W,9C) int16
+        f_ = w8.shape[3]
+        v = matmul_w8a16_requant(pq.reshape(-1, 9 * c_),
+                                 w8.reshape(9 * c_, f_), cw,
+                                 bias_shifted, shift_out,
+                                 leaky=(activation == "leaky"))
+        return v.reshape(b_, h_, w2_, f_)
     xh = (xp >> 8).astype(jnp.int8)
     xl = (jnp.bitwise_and(xp, 255) - 128).astype(jnp.int8)
     b_ = x.shape[0]
