@@ -112,7 +112,9 @@ def main() -> int:
     out_dir = tempfile.mkdtemp(prefix="int8sweep")
     eval_rng = np.random.default_rng(99)
     pairs = []
-    for i in range(6):
+    # 16 eval scenes: at 6 the per-config mAP deltas were inside the noise
+    # (per-channel w8a8 flipped sign between runs — see STATUS round 4)
+    for i in range(int(os.environ.get("INT8_SWEEP_EVAL_N", "16"))):
         img, boxes, classes = make_scene(eval_rng)
         ip = os.path.join(out_dir, f"eval{i}.png")
         lp = os.path.join(out_dir, f"eval{i}.txt")

@@ -21,3 +21,25 @@ Public entry points:
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_cpu_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu`` authoritative even on hosts whose site
+    hooks register+initialize an accelerator backend at interpreter start
+    (observed with tunneled-TPU plugins: a "CPU-only" CLI run otherwise
+    contends for the single device grant and blocks for minutes in the
+    claim path). No-op unless the user explicitly asked for cpu."""
+    import os
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        return
+    try:
+        import jax
+        if jax.config.jax_platforms != "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        import jax._src.api as _api
+        _api.clear_backends()
+    except Exception:   # jax absent or too old: nothing to enforce
+        pass
+
+
+_honor_cpu_platform_env()
