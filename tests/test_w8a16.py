@@ -115,17 +115,73 @@ def test_conv_w8a16_pallas_3x3_bitexact(monkeypatch):
         np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("B,H,W,C,N,act", [
+    (2, 16, 16, 32, 64, "leaky"),    # C pads to 128; whole image
+    (1, 13, 13, 128, 128, "linear"), # odd spatial, no pad
+])
+def test_conv3x3_w8a16_wi_bitexact(B, H, W, C, N, act):
+    """Weight-resident w8a16 conv3 kernel vs the XLA plane-stacked path."""
+    from yolotpu.ops import pallas_q16 as q16
+    rng = np.random.default_rng(17)
+    x = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    w = rng.integers(-128, 128, (3, 3, C, N)).astype(np.int8)
+    b = rng.integers(-30000, 30000, N).astype(np.int32)
+    s = rng.integers(0, 12, N).astype(np.int32)
+    cw = convops.prep_weights_w8a16(w)
+    want = np.asarray(convops.conv_w8a16(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(cw), jnp.asarray(b),
+        1, 1, act, s))
+    wp = q16.prep_conv_weights_w8(w, b, s)
+    got = q16.conv3x3_w8a16_wi(jnp.asarray(x), wp,
+                               leaky=(act == "leaky"), interpret=True)
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got)[..., :N], want)
+
+
+def test_conv3x3_w8a16_wi_banded():
+    """Band-stacked geometry: shrink the VMEM budget so H splits into
+    bands; result must still be bit-exact."""
+    import os
+    from yolotpu.ops import pallas_q16 as q16
+    rng = np.random.default_rng(19)
+    B, H, W, C, N = 1, 16, 16, 128, 128
+    x = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    w = rng.integers(-128, 128, (3, 3, C, N)).astype(np.int8)
+    b = rng.integers(-1000, 1000, N).astype(np.int32)
+    cw = convops.prep_weights_w8a16(w)
+    want = np.asarray(convops.conv_w8a16(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(cw), jnp.asarray(b),
+        1, 1, "leaky", 7))
+    wp = q16.prep_conv_weights_w8(w, b, 7)
+    old = os.environ.get("YOLO2_Q16_WI_BUDGET")
+    # 1 MiB: whole-image needs ~1.35 MiB at this geometry, th=8 bands fit
+    os.environ["YOLO2_Q16_WI_BUDGET"] = str(1 << 20)
+    try:
+        got = q16.conv3x3_w8a16_wi(jnp.asarray(x), wp, leaky=True,
+                                   interpret=True)
+    finally:
+        if old is None:
+            os.environ.pop("YOLO2_Q16_WI_BUDGET")
+        else:
+            os.environ["YOLO2_Q16_WI_BUDGET"] = old
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got)[..., :N], want)
+
+
 @pytest.mark.slow
 def test_w8a16_pallas_forward_equals_xla_forward():
-    """Full-net compute='pallas' (1x1 layers on the fused kernel,
-    interpret mode on CPU) must equal the XLA w8a16 forward bit-for-bit."""
+    """Full-net compute='pallas' (weight-resident conv3 kernels on every
+    eligible 3x3 + the fused 1x1 matmul, interpret mode on CPU) must equal
+    the XLA w8a16 forward bit-for-bit."""
     spec = zoo.build("yolov2", width=64, height=64)
     store = WeightStore.synthetic(spec, seed=0)
     rng = np.random.default_rng(11)
     img = rng.random((3, 64, 64)).astype(np.float32)
     act_q = calibrate_activations(spec, store, [img])
     quantize_weights_w8a16(store, act_q)
-    params = yolov2.params_w8a16(spec, store)
+    params = yolov2.params_w8a16(spec, store, pallas=True)
+    n_packs = sum(1 for v in params.values() if "wp8" in v)
+    assert n_packs >= 10, n_packs   # the 3x3 stack actually engages
     x = jnp.asarray(img.transpose(1, 2, 0)[None])
     fx = yolov2.build_forward(spec, "w8a16", store.qtables_w8,
                               outputs=("head",))

@@ -325,19 +325,22 @@ def main() -> int:
             fwd = m.build_forward(spec, "int8", store.qtables8,
                                   compute="pallas",
                                   outputs=("head", "boxes"))
-        elif compute == "w8a16":
-            # per-channel int8 weights x int16 activations (one s8 conv
-            # over batch-stacked planes — see ops/convops.conv_w8a16)
+        elif compute in ("w8a16", "w8a16p"):
+            # per-channel int8 weights x int16 activations: "w8a16" = XLA
+            # batch-stacked-plane convs (ops/convops.conv_w8a16); "w8a16p"
+            # = Pallas engines (weight-resident conv3 + fused 1x1 matmul)
             from yolotpu.quant import quantize_weights_w8a16
             quantize_weights_w8a16(store, store.qtables.act_q)
-            params = m.params_w8a16(spec, store)
+            pall = compute == "w8a16p"
+            params = m.params_w8a16(spec, store, pallas=pall)
             fwd = m.build_forward(spec, "w8a16", store.qtables_w8,
+                                  compute=("pallas" if pall else "int32"),
                                   outputs=("head", "boxes"))
         elif compute == "pallas":
             params = m.params_q16(spec, store)
         else:
             params = m.params_int16(spec, store)
-        if compute not in ("int8", "w8a16"):
+        if compute not in ("int8", "w8a16", "w8a16p"):
             fwd = m.build_forward(spec, "int16", store.qtables,
                                   compute=compute,
                                   outputs=("head", "boxes"))

@@ -72,26 +72,41 @@ def params_int8(spec: NetworkSpec, store: WeightStore) -> dict:
     return _params_quantized(spec, store.int8, store.qtables8)
 
 
-def params_w8a16(spec: NetworkSpec, store: WeightStore) -> dict:
+def params_w8a16(spec: NetworkSpec, store: WeightStore,
+                 pallas: bool = False) -> dict:
     """w8a16 tier parameters: per-channel int8 weights (HWIO), the
-    activation lo-plane correction ``cw``, and the pre-shifted bias."""
+    activation lo-plane correction ``cw``, and the pre-shifted bias.
+
+    ``pallas=True`` additionally packs eligible 3x3/s1 layers for the
+    weight-resident w8a16 kernel (ops.pallas_q16.conv3x3_w8a16_wi; the
+    XLA pack stays alongside as the runtime fallback when no band
+    geometry fits)."""
     from ..ops.convops import prep_weights_w8a16
     if store.qtables_w8 is None:
         raise ValueError("w8a16 params require Q tables "
                          "(quant.quantize_weights_w8a16)")
     qt = store.qtables_w8
     plan = Int16Plan.build(spec, qt)
+    w8_conv3 = os.environ.get("YOLO2_W8A16_CONV3", "1") == "1"
     p = {}
     for ci, l in enumerate(spec.conv_layers()):
         w, b = store.w8a16[l.idx]
-        w_hwio = w.transpose(2, 3, 1, 0)
+        w_hwio = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
         shift_bias = qt.bias_q[ci] - plan.conv_qa_out[l.idx]
         bias_shifted = _round_shift_np(b.astype(np.int64), shift_bias)
-        p[f"conv{l.idx}"] = {
-            "w": jnp.asarray(np.ascontiguousarray(w_hwio)),
+        pw = {
+            "w": jnp.asarray(w_hwio),
             "cw": jnp.asarray(prep_weights_w8a16(w_hwio)),
             "b": jnp.asarray(bias_shifted.astype(np.int32)),
         }
+        if (pallas and w8_conv3 and l.size == 3 and l.stride == 1
+                and l.groups == 1 and l.pad == l.size // 2 and l.c >= 8
+                and l.activation in ("leaky", "linear")):
+            from ..ops import pallas_q16 as q16
+            pw["wp8"] = q16.prep_conv_weights_w8(
+                w_hwio, bias_shifted.astype(np.int32),
+                plan.conv_shift_out[l.idx])
+        p[f"conv{l.idx}"] = pw
     return p
 
 
@@ -529,11 +544,19 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                                             plan.conv_shift_out[l.idx],
                                             use_pallas=(compute == "pallas"))
                 elif is_w8a16:
-                    cur = convops.conv_w8a16(cur, pw["w"], pw["cw"],
-                                             pw["b"], l.stride, l.pad,
-                                             l.activation,
-                                             plan.conv_shift_out[l.idx],
-                                             use_pallas=(compute == "pallas"))
+                    done = False
+                    if compute == "pallas" and "wp8" in pw:
+                        from ..ops import pallas_q16 as q16
+                        v = q16.conv3x3_w8a16_wi(
+                            cur, pw["wp8"], leaky=(l.activation == "leaky"))
+                        if v is not None:
+                            cur = v[..., :l.n]   # crop padded out channels
+                            done = True
+                    if not done:
+                        cur = convops.conv_w8a16(
+                            cur, pw["w"], pw["cw"], pw["b"], l.stride,
+                            l.pad, l.activation, plan.conv_shift_out[l.idx],
+                            use_pallas=(compute == "pallas"))
                 elif compute == "pallas" and "kind" in pw:
                     from ..ops import pallas_q16 as q16
                     shift = plan.conv_shift_out[l.idx]

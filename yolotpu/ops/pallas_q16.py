@@ -883,6 +883,160 @@ def conv3x3_q16_flat(x, wp: dict, shift_out: int,
 
 
 # ---------------------------------------------------------------------------
+# w8a16 tier: weight-resident 3x3 conv with SINGLE s8 weight plane
+# ---------------------------------------------------------------------------
+
+def prep_conv_weights_w8(w8_hwio: np.ndarray, bias_shifted: np.ndarray,
+                         shift_out, cp: int | None = None,
+                         tn: int | None = None):
+    """w8 (kh, kw, C, N) int8 -> dict for conv3x3_w8a16_wi.
+
+    The w8a16 analog of prep_conv_weights with HALF the weight bytes: one
+    s8 plane instead of the dec2 [WH | WL] pair, so every tap dot is width
+    tn (not 2tn) — the kernel's MXU work halves against the exact-int16
+    conv3 kernels. ``shift_out`` is the per-output-channel requant shift
+    vector (or a scalar, broadcast), baked into the pack because the
+    kernel applies it as a lane vector.
+    """
+    kh, kw, C, N = w8_hwio.shape
+    cp = cp or max(_round_up(C, 8), LANE)
+    np_ = max(_round_up(N, 64), LANE)
+    wp = np.zeros((kh * kw, cp, np_), np.int8)
+    wp[:, :C, :N] = w8_hwio.reshape(kh * kw, C, N)
+    if tn is None:
+        tn = _pick_tile(np_, 512, 64)
+        while kh * kw * cp * tn > _CONV_W_BUDGET and tn > 128:
+            tn //= 2
+    jblocks = [wp[:, :, j * tn:(j + 1) * tn].reshape(kh * kw * cp, tn)
+               for j in range(np_ // tn)]
+    w1 = np.stack(jblocks, axis=0)                 # (Np/tn, taps*Cp, tn)
+    # lo-plane +128 offset correction: 128 * sum over taps x channels
+    # (padded channels carry weight 0 and contribute nothing)
+    nconst = ((128 * wp.astype(np.int64).sum(axis=(0, 1)))
+              & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    bias = np.zeros(np_, np.int32)
+    bias[:N] = bias_shifted.astype(np.int32)
+    shifts = np.zeros(np_, np.int32)
+    shifts[:N] = np.asarray(shift_out, np.int32)
+    return {"w1": jnp.asarray(w1), "nconst": jnp.asarray(nconst),
+            "bias": jnp.asarray(bias), "shifts": jnp.asarray(shifts),
+            "C": C, "Cp": cp, "N": N, "Np": np_, "tn": tn,
+            "kh": kh, "kw": kw}
+
+
+def _convw_w8_kernel(xh_ref, xl_ref, w_ref, nc_ref, b_ref, s_ref, o_ref, *,
+                     M1, W2a, Cp, tn, kh, kw, leaky):
+    """Implicit-im2col w8a16 body: per tap TWO width-tn s8 dots (hi, lo
+    planes x the single weight plane), then acc = (ah<<8) + al + nconst
+    and the per-channel requant epilogue — all int32 (Mosaic-legal)."""
+    acch = accl = None
+    for dy in range(kh):
+        for dx in range(kw):
+            off = dy * W2a + dx
+            t = dy * kw + dx
+            wt = w_ref[0][t * Cp:(t + 1) * Cp]
+            ph = jnp.dot(xh_ref[0, off:off + M1], wt,
+                         preferred_element_type=jnp.int32)
+            pl2 = jnp.dot(xl_ref[0, off:off + M1], wt,
+                          preferred_element_type=jnp.int32)
+            acch = ph if acch is None else acch + ph
+            accl = pl2 if accl is None else accl + pl2
+    acc = (acch << 8) + accl + nc_ref[0, 0][None, :]
+    s = s_ref[0, 0][None, :]
+    spos = jnp.clip(s, 0, 30)
+    half = jnp.where(s > 0,
+                     jnp.left_shift(jnp.int32(1), jnp.maximum(spos - 1, 0)),
+                     0)
+    acc = jnp.where(s > 0, (acc + half) >> spos, acc << jnp.clip(-s, 0, 30))
+    v = jnp.clip(acc + b_ref[0, 0][None, :], -32768, 32767)
+    if leaky:
+        v = jnp.clip(jnp.where(v < 0, -((-v) // 10), v), -32768, 32767)
+    o_ref[0] = v.astype(jnp.int16)
+
+
+def conv3x3_w8a16_wi(x, wp: dict, leaky: bool,
+                     interpret: bool | None = None):
+    """Weight-resident SAME 3x3/s1 w8a16 conv (whole-image / band-stacked
+    geometry — the shape class where the weight-resident int16 kernels won
+    round 3's big-split config, at half their MXU and weight-byte cost).
+
+    ``x``: int16 NHWC (exact or padded channels) or an (hi, lo) s8 plane
+    pair. Returns int16 (B, H, W, Np) with PADDED output channels (caller
+    slices to N), or None when no band geometry fits the VMEM budget so
+    the caller can fall back to the XLA plane-stacked conv.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    planes_in = isinstance(x, (tuple, list))
+    B, H, W, C = (x[0] if planes_in else x).shape
+    kh, kw = wp["kh"], wp["kw"]
+    Cp, np_, tn = wp["Cp"], wp["Np"], wp["tn"]
+    assert C in (wp["C"], Cp), (C, wp["C"], Cp)
+    if Cp % LANE:
+        return None
+    if C != Cp:
+        if planes_in:
+            x = pad_planes(x, [(0, 0)] * 3 + [(0, Cp - C)])
+        else:
+            x = pad_channels(x, Cp)
+    K = kh * kw * Cp
+    W2a = _round_up(W + kw - 1, 8)
+    FL2 = (H + kh) * W2a
+    budget = int(_os.environ.get("YOLO2_Q16_WI_BUDGET", str(13 << 20)))
+
+    def wi_need(t):
+        # s8 band planes + the single s8 weight tile + int32 dot pair and
+        # epilogue blocks (Mosaic stack) + the int16 out block
+        return 2 * (t + kh) * W2a * Cp + K * tn + 22 * t * W2a * tn
+
+    th = None
+    for t in sorted({d for d in range(1, H + 1) if H % d == 0},
+                    reverse=True):
+        if wi_need(t) <= budget:
+            th = t
+            break
+    if th is None or th < 8:
+        return None
+    M1 = th * W2a
+    nb = H // th
+    pad2 = ((0, 0), (1, kh - 1), (1, W2a - W - 1), (0, 0))
+    if planes_in:
+        xh, xl = pad_planes(x, pad2)
+    else:
+        xh, xl = split16(jnp.pad(x, pad2))
+    xh = xh.reshape(B, FL2, Cp)
+    xl = xl.reshape(B, FL2, Cp)
+    if nb > 1:
+        FL2b = (th + kh) * W2a
+
+        def bands(v):
+            vb = jnp.stack([v[:, i * M1:i * M1 + FL2b] for i in range(nb)],
+                           axis=1)
+            return vb.reshape(B * nb, FL2b, Cp)
+        xh, xl = bands(xh), bands(xl)
+        FL2 = FL2b
+    Bk = B * nb
+    nj = np_ // tn
+    bspec = pl.BlockSpec((1, FL2, Cp), lambda j, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = lambda shp: pl.BlockSpec(shp, lambda j, b: (j, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_convw_w8_kernel, M1=M1, W2a=W2a, Cp=Cp, tn=tn,
+                          kh=kh, kw=kw, leaky=leaky),
+        grid=(nj, Bk),
+        in_specs=[bspec, bspec, wspec((1, K, tn)), wspec((1, 1, tn)),
+                  wspec((1, 1, tn)), wspec((1, 1, tn))],
+        out_specs=pl.BlockSpec((1, M1, tn), lambda j, b: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bk, M1, np_), jnp.int16),
+        interpret=interpret)(
+            xh, xl, wp["w1"], wp["nconst"].reshape(nj, 1, tn),
+            wp["bias"].reshape(nj, 1, tn), wp["shifts"].reshape(nj, 1, tn))
+    return out.reshape(B, H, W2a, np_)[:, :, :W]
+
+
+# ---------------------------------------------------------------------------
 # Fused entry conv: 3x3/s1 C=3 conv + 2x2/s2 maxpool + requant in one pass
 # ---------------------------------------------------------------------------
 

@@ -76,7 +76,8 @@ class Engine:
                                       outputs, thresh=thresh,
                                       nms_thresh=nms, topk=topk)
             elif precision == "w8a16":
-                params = m.params_w8a16(spec, store)
+                params = m.params_w8a16(spec, store,
+                                        pallas=(compute == "pallas"))
                 fwd = m.build_forward(spec, "w8a16", store.qtables_w8,
                                       compute, outputs, thresh=thresh,
                                       nms_thresh=nms, topk=topk)
