@@ -126,6 +126,52 @@ def test_perchannel_scales_cut_weight_quant_error():
         (better, worse)
 
 
+@pytest.mark.parametrize("C,N,act,shift", [
+    (32, 64, "leaky", None),      # per-channel shifts, C pads to 128
+    (128, 128, "linear", 7),      # scalar shift, no pad
+])
+def test_conv3x3_s8_wi_bitexact(C, N, act, shift):
+    """Weight-resident s8 conv3 kernel (one dot per tap) vs the XLA s8
+    conv path of conv_int8."""
+    from yolotpu.ops import pallas_q16 as q16
+    rng = np.random.default_rng(23)
+    B, H, W = 2, 16, 16
+    x = rng.integers(-128, 128, (B, H, W, C)).astype(np.int8)
+    w = rng.integers(-128, 128, (3, 3, C, N)).astype(np.int8)
+    b = rng.integers(-1000, 1000, N).astype(np.int32)
+    s = (rng.integers(0, 12, N).astype(np.int32) if shift is None
+         else shift)
+    want = np.asarray(convops.conv_int8(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), 1, 1, act, s))
+    wp = q16.prep_conv_weights_w8(w, b, s)
+    got = q16.conv3x3_s8_wi(jnp.asarray(x), wp, leaky=(act == "leaky"),
+                            interpret=True)
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got)[..., :N], want)
+
+
+@pytest.mark.slow
+def test_int8_forward_pallas_wi_equals_xla(monkeypatch):
+    """Full-net int8 forward with the weight-resident conv3 kernels
+    engaged must equal the plain XLA int8 forward bit-for-bit."""
+    monkeypatch.setenv("YOLO2_INT8_CONV3_WI", "1")
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    rng = np.random.default_rng(29)
+    img = rng.random((3, 64, 64)).astype(np.float32)
+    act_q8 = calibrate_activations_int8(spec, store, [img])
+    quantize_weights_int8(store, act_q8)
+    x = jnp.asarray(img.transpose(1, 2, 0)[None])
+    params = yolov2.params_int8(spec, store, pallas=True)
+    assert any("wp8" in v for v in params.values())
+    f_pl = yolov2.build_forward(spec, "int8", store.qtables8,
+                                compute="pallas", outputs=("head",))
+    f_x = yolov2.build_forward(spec, "int8", store.qtables8,
+                               outputs=("head",))
+    np.testing.assert_array_equal(np.asarray(f_pl(params, x)["head"]),
+                                  np.asarray(f_x(params, x)["head"]))
+
+
 @pytest.mark.slow
 def test_int8_perchannel_forward_bitexact_vs_golden():
     """Full 64-input yolov2 graph: jax int8 forward with per-channel tables

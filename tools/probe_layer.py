@@ -321,7 +321,7 @@ def main() -> int:
                                        quantize_weights_int8)
             act_q8 = calibrate_activations_int8(spec, store, calib)
             quantize_weights_int8(store, act_q8)
-            params = m.params_int8(spec, store)
+            params = m.params_int8(spec, store, pallas=True)
             fwd = m.build_forward(spec, "int8", store.qtables8,
                                   compute="pallas",
                                   outputs=("head", "boxes"))

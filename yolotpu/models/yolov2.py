@@ -65,11 +65,31 @@ def params_int16(spec: NetworkSpec, store: WeightStore) -> dict:
     return _params_quantized(spec, store.int16, store.qtables)
 
 
-def params_int8(spec: NetworkSpec, store: WeightStore) -> dict:
-    """w8a8 turbo tier parameters."""
+def params_int8(spec: NetworkSpec, store: WeightStore,
+                pallas: bool = False) -> dict:
+    """w8a8 turbo tier parameters. ``pallas=True`` + YOLO2_INT8_CONV3_WI=1
+    additionally packs eligible 3x3/s1 layers for the weight-resident s8
+    kernel (ops.pallas_q16.conv3x3_s8_wi) — probe-gated until the
+    in-program bisection prices it against XLA's s8 conv."""
     if store.qtables8 is None:
         raise ValueError("int8 params require Q tables (quantize_weights_int8)")
-    return _params_quantized(spec, store.int8, store.qtables8)
+    qt = store.qtables8
+    p = _params_quantized(spec, store.int8, qt)
+    if pallas and os.environ.get("YOLO2_INT8_CONV3_WI", "0") == "1":
+        from ..ops import pallas_q16 as q16
+        plan = Int16Plan.build(spec, qt)
+        for ci, l in enumerate(spec.conv_layers()):
+            if not (l.size == 3 and l.stride == 1 and l.groups == 1
+                    and l.pad == 1 and l.c >= 8
+                    and l.activation in ("leaky", "linear")):
+                continue
+            w, b = store.int8[l.idx]
+            shift_bias = qt.bias_q[ci] - plan.conv_qa_out[l.idx]
+            bias_shifted = _round_shift_np(b.astype(np.int64), shift_bias)
+            p[f"conv{l.idx}"]["wp8"] = q16.prep_conv_weights_w8(
+                np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+                bias_shifted.astype(np.int32), plan.conv_shift_out[l.idx])
+    return p
 
 
 def params_w8a16(spec: NetworkSpec, store: WeightStore,
@@ -539,10 +559,19 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                     cur = convops.conv_fp32(cur, pw["w"], pw["b"], l.stride,
                                             l.pad, l.activation)
                 elif is_int8:
-                    cur = convops.conv_int8(cur, pw["w"], pw["b"], l.stride,
-                                            l.pad, l.activation,
-                                            plan.conv_shift_out[l.idx],
-                                            use_pallas=(compute == "pallas"))
+                    done = False
+                    if compute == "pallas" and "wp8" in pw:
+                        from ..ops import pallas_q16 as q16
+                        v = q16.conv3x3_s8_wi(
+                            cur, pw["wp8"], leaky=(l.activation == "leaky"))
+                        if v is not None:
+                            cur = v[..., :l.n]
+                            done = True
+                    if not done:
+                        cur = convops.conv_int8(
+                            cur, pw["w"], pw["b"], l.stride, l.pad,
+                            l.activation, plan.conv_shift_out[l.idx],
+                            use_pallas=(compute == "pallas"))
                 elif is_w8a16:
                     done = False
                     if compute == "pallas" and "wp8" in pw:

@@ -924,6 +924,97 @@ def prep_conv_weights_w8(w8_hwio: np.ndarray, bias_shifted: np.ndarray,
             "kh": kh, "kw": kw}
 
 
+def _convw_s8_kernel(x_ref, w_ref, b_ref, s_ref, o_ref, *,
+                     M1, W2a, Cp, tn, kh, kw, leaky):
+    """w8a8 weight-resident body: plain s8 activations need no plane
+    split and no offset correction — ONE width-tn dot per tap (half the
+    w8a16 kernel, a quarter of the exact-int16 kernels)."""
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            off = dy * W2a + dx
+            t = dy * kw + dx
+            wt = w_ref[0][t * Cp:(t + 1) * Cp]
+            p = jnp.dot(x_ref[0, off:off + M1], wt,
+                        preferred_element_type=jnp.int32)
+            acc = p if acc is None else acc + p
+    s = s_ref[0, 0][None, :]
+    spos = jnp.clip(s, 0, 30)
+    half = jnp.where(s > 0,
+                     jnp.left_shift(jnp.int32(1), jnp.maximum(spos - 1, 0)),
+                     0)
+    acc = jnp.where(s > 0, (acc + half) >> spos, acc << jnp.clip(-s, 0, 30))
+    v = jnp.clip(acc + b_ref[0, 0][None, :], -128, 127)
+    if leaky:
+        v = jnp.clip(jnp.where(v < 0, -((-v) // 10), v), -128, 127)
+    o_ref[0] = v.astype(jnp.int8)
+
+
+def conv3x3_s8_wi(x: jnp.ndarray, wp: dict, leaky: bool,
+                  interpret: bool | None = None):
+    """Weight-resident SAME 3x3/s1 conv for the w8a8 tier: s8 activations
+    x the single s8 weight plane of prep_conv_weights_w8 (its ``nconst``
+    is unused here — plain s8 zero-padding needs no correction).
+
+    Returns int8 (B, H, W, Np) padded-channel output, or None when no
+    band geometry fits (caller falls back to the XLA s8 conv)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B, H, W, C = x.shape
+    kh, kw = wp["kh"], wp["kw"]
+    Cp, np_, tn = wp["Cp"], wp["Np"], wp["tn"]
+    assert C in (wp["C"], Cp), (C, wp["C"], Cp)
+    if Cp % LANE:
+        return None
+    if C != Cp:
+        x = pad_channels(x, Cp)
+    K = kh * kw * Cp
+    W2a = _round_up(W + kw - 1, 8)
+    FL2 = (H + kh) * W2a
+    budget = int(_os.environ.get("YOLO2_Q16_WI_BUDGET", str(13 << 20)))
+
+    def wi_need(t):
+        # one s8 band + s8 weight tile + one int32 dot block + s8 out
+        return (t + kh) * W2a * Cp + K * tn + 14 * t * W2a * tn
+
+    th = None
+    for t in sorted({d for d in range(1, H + 1) if H % d == 0},
+                    reverse=True):
+        if wi_need(t) <= budget:
+            th = t
+            break
+    if th is None or th < 8:
+        return None
+    M1 = th * W2a
+    nb = H // th
+    pad2 = ((0, 0), (1, kh - 1), (1, W2a - W - 1), (0, 0))
+    xq = jnp.pad(x, pad2).reshape(B, FL2, Cp)
+    if nb > 1:
+        FL2b = (th + kh) * W2a
+        xq = jnp.stack([xq[:, i * M1:i * M1 + FL2b] for i in range(nb)],
+                       axis=1).reshape(B * nb, FL2b, Cp)
+        FL2 = FL2b
+    Bk = B * nb
+    nj = np_ // tn
+    bspec = pl.BlockSpec((1, FL2, Cp), lambda j, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = lambda shp: pl.BlockSpec(shp, lambda j, b: (j, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_convw_s8_kernel, M1=M1, W2a=W2a, Cp=Cp, tn=tn,
+                          kh=kh, kw=kw, leaky=leaky),
+        grid=(nj, Bk),
+        in_specs=[bspec, wspec((1, K, tn)), wspec((1, 1, tn)),
+                  wspec((1, 1, tn))],
+        out_specs=pl.BlockSpec((1, M1, tn), lambda j, b: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bk, M1, np_), jnp.int8),
+        interpret=interpret)(
+            xq, wp["w1"], wp["bias"].reshape(nj, 1, tn),
+            wp["shifts"].reshape(nj, 1, tn))
+    return out.reshape(B, H, W2a, np_)[:, :, :W]
+
+
 def _convw_w8_kernel(xh_ref, xl_ref, w_ref, nc_ref, b_ref, s_ref, o_ref, *,
                      M1, W2a, Cp, tn, kh, kw, leaky):
     """Implicit-im2col w8a16 body: per tap TWO width-tn s8 dots (hi, lo

@@ -71,7 +71,8 @@ class Engine:
                                       outputs, thresh=thresh,
                                       nms_thresh=nms, topk=topk)
             elif precision == "int8":
-                params = m.params_int8(spec, store)
+                params = m.params_int8(spec, store,
+                                       pallas=(compute == "pallas"))
                 fwd = m.build_forward(spec, "int8", store.qtables8, compute,
                                       outputs, thresh=thresh,
                                       nms_thresh=nms, topk=topk)
