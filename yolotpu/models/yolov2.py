@@ -31,9 +31,9 @@ from ..weights import QTables, WeightStore
 # (models/engine_plan.py) — measured defaults, per-layer YOLO2_Q16_PLAN
 # override for bisection, plus the three coarse levers below. The values
 # here are the measured production defaults; see engine_plan's table.
-_Q16_PALLAS_MAX_HW = int(os.environ.get("YOLO2_Q16_PALLAS_MAX_HW", "676"))
+_Q16_PALLAS_MAX_HW = int(os.environ.get("YOLO2_Q16_PALLAS_MAX_HW", "2704"))
 _Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "0"))
-_Q16_ENTRY = os.environ.get("YOLO2_Q16_ENTRY", "xla")
+_Q16_ENTRY = os.environ.get("YOLO2_Q16_ENTRY", "sd")
 # dec8 lever: XLA-routed 3x3 layers run the exact two-s8-conv engine
 # (convops.conv_int16_dec8). Measured OFF e2e (112.1 vs 79.0 ms b128);
 # per-layer xla8 stays reachable through YOLO2_Q16_PLAN.
