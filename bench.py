@@ -32,6 +32,11 @@ STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 # (the fast path on real TPU); "int32" = XLA s16 convs (same bits)
 COMPUTE = os.environ.get("BENCH_COMPUTE", "pallas")
 MODEL = os.environ.get("BENCH_MODEL", "yolov2")
+# the official headline is the int16 tier (the reference's precision);
+# BENCH_PRECISION=w8a16 measures the serving tier (per-channel s8 weights
+# x s16 activations — meets the 0.1-mAP criterion, see STATUS.md) through
+# the identical bench construction
+PRECISION = os.environ.get("BENCH_PRECISION", "int16")
 
 
 def main() -> int:
@@ -59,10 +64,18 @@ def main() -> int:
     act_q = calibrate_activations(spec, store, calib)
     quantize_weights(store, act_q)
 
-    params = (m.params_q16(spec, store) if COMPUTE == "pallas"
-              else m.params_int16(spec, store))
-    fwd = m.build_forward(spec, "int16", store.qtables, compute=COMPUTE,
-                          outputs=("head", "boxes"))
+    if PRECISION == "w8a16":
+        from yolotpu.quant import quantize_weights_w8a16
+        quantize_weights_w8a16(store, store.qtables.act_q)
+        params = m.params_w8a16(spec, store,
+                                pallas=(COMPUTE == "pallas"))
+        fwd = m.build_forward(spec, "w8a16", store.qtables_w8,
+                              compute=COMPUTE, outputs=("head", "boxes"))
+    else:
+        params = (m.params_q16(spec, store) if COMPUTE == "pallas"
+                  else m.params_int16(spec, store))
+        fwd = m.build_forward(spec, "int16", store.qtables, compute=COMPUTE,
+                              outputs=("head", "boxes"))
     # Honest production shape: uint8 frames (what a camera/decoder hands
     # over — 4x cheaper on the host link; on-device /255 is bit-identical
     # to the host loader's float division, yolo2_image_loader.c:34-80).
@@ -111,7 +124,7 @@ def main() -> int:
           f"compute={COMPUTE} env={plan_env}", file=sys.stderr, flush=True)
 
     print(json.dumps({
-        "metric": f"{MODEL}_{spec.net.width}_int16_fps",
+        "metric": f"{MODEL}_{spec.net.width}_{PRECISION}_fps",
         "value": round(fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 1),

@@ -33,11 +33,15 @@ mislead, see STATUS.md):
   | layer class                  | engine   | evidence (round) |
   |------------------------------|----------|------------------|
   | 1x1/s1, simple act           | mm       | r2: always wins  |
-  | entry 3x3 C<=4 + 2x2/s2 pool | entry_sd | r4: fused XLA conv+pool,
-  |                              |          | beats split conv+pool    |
-  | 3x3/s1 C>=8 (all spatials)   | conv3    | r4: weight-resident wi
-  |                              |          | kernel, N-major grid —
-  |                              |          | weights stream once/step |
+  | entry 3x3 C<=4 + 2x2/s2 pool | entry_sd | r3 ledger: sd 94.0 vs
+  |                              |          | xla-entry 100.9 ms b128  |
+  | 3x3/s1 C>=8, out <= 52x52    | conv3    | r3/r4: flat-band + wi
+  |                              |          | kernels (plane flow)     |
+  | 3x3/s1 C>=8, out > 52x52     | xla      | conservative default —
+  |                              |          | the big-split conv3 rows
+  |                              |          | (104²/208² wi) probed
+  |                              |          | 50.7 ms but await bench
+  |                              |          | confirmation (plans/)    |
   | everything else (stride>1,   | xla      | exactness fallback       |
   |  exotic act, grouped, ...)   |          |                          |
 
