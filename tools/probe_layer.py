@@ -18,6 +18,12 @@ floor subtracted.
 from __future__ import annotations
 
 import functools
+import os
+import sys
+
+# tools/ scripts run as `python tools/x.py` (sys.path[0] = tools/);
+# make the repo root importable regardless of cwd/PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 import time

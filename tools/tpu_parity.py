@@ -14,6 +14,12 @@ production engine.
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+# tools/ scripts run as `python tools/x.py` (sys.path[0] = tools/);
+# make the repo root importable regardless of cwd/PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 
 import numpy as np
