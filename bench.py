@@ -64,7 +64,13 @@ def main() -> int:
     act_q = calibrate_activations(spec, store, calib)
     quantize_weights(store, act_q)
 
-    if PRECISION == "w8a16":
+    if PRECISION == "fp32":
+        # the reference's own `--precision fp32` tier (yolov2_main.cpp
+        # backend switch): on TPU XLA lowers f32 convs to MXU passes at
+        # the backend's default precision (bf16 inputs, f32 accum)
+        params = m.params_fp32(spec, store)
+        fwd = m.build_forward(spec, "fp32", outputs=("head", "boxes"))
+    elif PRECISION == "w8a16":
         from yolotpu.quant import quantize_weights_w8a16
         quantize_weights_w8a16(store, store.qtables.act_q)
         params = m.params_w8a16(spec, store,

@@ -391,6 +391,57 @@ def test_entry_sd_conv_pool_exact(shift, act):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("shift,act,wmax", [(9, "leaky", 30000),
+                                            (6, "linear", 32767)])
+def test_entry_sdmm_conv_pool_exact(shift, act, wmax):
+    """Fused Pallas patch-matmul entry (s2d K=48 packing + in-epilogue
+    pool group-max; evidence-only kind, lost the r4 e2e bisection) ==
+    the XLA entry_sd formulation bit for bit, both weight encodings."""
+    B, H, W, C, N = 2, 20, 16, 3, 32
+    rng = np.random.default_rng(16)
+    xq = rng.integers(-32768, 32768, (B, C, H, W)).astype(np.int16)
+    xq[0, :, 0] = 32767
+    xq[1, :, -1] = -32768
+    w = rng.integers(-wmax - 1, wmax + 1, (3, 3, C, N)).astype(np.int16)
+    w[0, 0, 0, 0] = wmax                      # pin the encoding branch
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    w4 = convops.make_entry_sd_weights(w, N)
+    want = np.asarray(convops.conv_pool_entry_sd(
+        jnp.asarray(xq), jnp.asarray(w4), jnp.asarray(bias), shift, act))
+    wp = q16.prep_entry_sdmm_weights(w4, bias)
+    assert wp["bal"] == (wmax <= 32639)
+    got = np.asarray(q16.entry_sdmm_forward(
+        jnp.asarray(xq), wp, shift, act == "leaky"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_net_entry_sdmm_bitexact(monkeypatch):
+    """Whole 64px graph with the entry_sdmm override == the int32 tier
+    bit-for-bit (exercises the YOLO2_Q16_PLAN routing + fallback glue)."""
+    from yolotpu.models import yolov2, zoo
+    from yolotpu.quant import calibrate_activations, quantize_weights
+    from yolotpu.weights import WeightStore
+
+    monkeypatch.setenv("YOLO2_Q16_PLAN", "0:entry_sdmm")
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    rng = np.random.default_rng(102)
+    img = rng.random((3, 64, 64)).astype(np.float32)
+    act_q = calibrate_activations(spec, store, [img])
+    quantize_weights(store, act_q)
+    x = jnp.asarray(img.transpose(1, 2, 0)[None])
+    pi = yolov2.params_int16(spec, store)
+    fi = yolov2.build_forward(spec, "int16", store.qtables,
+                              compute="int32", outputs=("head",))
+    want = np.asarray(fi(pi, x)["head"])
+    params = yolov2.params_q16(spec, store)
+    assert params["conv0"]["kind"] == "entry_sdmm"
+    fwd = yolov2.build_forward(spec, "int16", store.qtables,
+                               compute="pallas", outputs=("head",))
+    got = np.asarray(fwd(params, x)["head"])
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.slow
 def test_full_net_entry_sd_bitexact(monkeypatch):
     """Whole graph with the sd entry == golden int32 bit-for-bit (entry

@@ -205,6 +205,12 @@ def main() -> int:
 
     if kind in ("pallas", "xla"):
         l = convs[arg]
+        if kind == "pallas" and l.size == 3 and \
+                f"{l.idx}:" not in os.environ.get("YOLO2_Q16_PLAN", ""):
+            # standalone pallas probe of a layer the default plan routes
+            # to xla: force the conv3 kernel so the probe measures it
+            os.environ["YOLO2_Q16_PLAN"] = ",".join(filter(None, [
+                os.environ.get("YOLO2_Q16_PLAN", ""), f"{l.idx}:conv3"]))
         params = m.params_q16(spec, store)
         pw = params[f"conv{l.idx}"]
         shift = plan.conv_shift_out[l.idx]

@@ -19,6 +19,10 @@ Engine kinds (all bit-exact vs the int32 tier; see ops/pallas_q16.py):
   bisection; see STATUS.md dead-ends):
     entryf     fused entry with in-kernel patch feed   (lost ~110 vs 92 ms)
     entry8     fused entry, XLA-side patch build       (patch build 160 ms)
+    entry_sdmm entry_sd as one fused Pallas patch-matmul with in-epilogue
+               pool group-max (s2d packs the 4x4/s2 window into K=48)
+               (lost 106.7 vs 92.3 ms e2e, r4: the lane-padded 48-channel
+               patch planes cost more HBM than the XLA conv saves)
     conv3p2    2x2-spatial-packed 3x3 kernel           (lost round 2)
     mm_pairs   column-pair-packed entry conv           (175 ms)
     mm_patches XLA-im2col + fused matmul               (OOM at 416², ok small)
@@ -59,8 +63,8 @@ import os
 from ..graph import ConvSpec, MaxPoolSpec, NetworkSpec
 
 PRODUCTION_KINDS = ("mm", "conv3", "entry_sd", "xla")
-EVIDENCE_KINDS = ("entryf", "entry8", "conv3p2", "mm_pairs", "mm_patches",
-                  "nchw", "xla8")
+EVIDENCE_KINDS = ("entryf", "entry8", "entry_sdmm", "conv3p2", "mm_pairs",
+                  "mm_patches", "nchw", "xla8")
 ALL_KINDS = PRODUCTION_KINDS + EVIDENCE_KINDS
 
 

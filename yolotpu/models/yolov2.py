@@ -257,6 +257,21 @@ def _prep_engine(kind: str, l: ConvSpec, spec: NetworkSpec,
                 "w": jnp.asarray(whwio),
                 "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
 
+    if kind == "entry_sdmm":
+        # evidence-only (lost 106.7 vs 92.3 ms e2e, round 4): the entry_sd
+        # identity computed as ONE fused Pallas patch-matmul —
+        # space-to-depth(2) packs the 4x4/s2 window into K = 16*C
+        # contraction lanes with the pool group-max in the epilogue.
+        # Bit-exact, but the 48-channel patch planes physically pad to
+        # 128 lanes and the extra HBM traffic outweighs the MXU win
+        need(l.size == 3 and regular and l.c <= 4 and l.h % 2 == 0
+             and l.w % 2 == 0 and ep.next_is_pool22(spec, l.idx),
+             "3x3/s1 C<=4 entry followed by a darknet 2x2/s2 pool")
+        w4 = convops.make_entry_sd_weights(whwio, l.n)
+        wp = q16.prep_entry_sdmm_weights(w4, bias_shifted)
+        return {"kind": "entry_sdmm", "wp": wp, "w": jnp.asarray(whwio),
+                "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
+
     if kind == "entryf":
         # evidence-only (lost ~110 vs 92 ms e2e, round 3): fused entry
         # conv+pool with IN-KERNEL patch feed
@@ -591,7 +606,8 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                     shift = plan.conv_shift_out[l.idx]
                     leaky = l.activation == "leaky"
                     kind = pw["kind"]
-                    if (kind in ("entry8", "entryf", "entry_sd")
+                    if (kind in ("entry8", "entryf", "entry_sd",
+                                 "entry_sdmm")
                             and (debug or l.idx in needed)):
                         # per-layer dumps / a route into the conv's own
                         # pre-pool output need the unfused intermediate:
@@ -608,6 +624,13 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                         xq = convops.quantize_input_int16(xt, plan.input_q)
                         cur = convops.conv_pool_entry_sd(
                             xq, pw["w4"], pw["b"], shift, l.activation)
+                        skip_pool.add(l.idx + 1)
+                        cur_layout = "flat"
+                    elif kind == "entry_sdmm":
+                        xt = jnp.transpose(x, (0, 3, 1, 2))
+                        xq = convops.quantize_input_int16(xt, plan.input_q)
+                        cur = q16.entry_sdmm_forward(xq, pw["wp"],
+                                                     shift, leaky)
                         skip_pool.add(l.idx + 1)
                         cur_layout = "flat"
                     elif kind == "entryf":

@@ -1783,6 +1783,162 @@ def matmul_q16_requant(x, wp: dict, shift_out: int,
 
 
 # ---------------------------------------------------------------------------
+# Kernel 1b: fused patch-matmul entry conv+pool ("entry_sdmm")
+#
+# The entry 3x3 conv (C=3) is lane-starved in every conv formulation: the
+# XLA 4x4/s2 fused form (entry_sd) measures ~4.8 useful TOPS at b128
+# because the MXU contracts over only 3 (padded) channels. This kernel
+# reformulates it as ONE fused matmul: space-to-depth(2) turns the
+# 4x4/stride-2 window into a 2x2 cell block (K = 2*2*2*2*C = 48 packed
+# contraction lanes), the 4 pool-window members are output-channel GROUPS
+# (groups-major, as in convops.make_entry_sd_weights), and the group-max
+# runs on the recombined int32 accumulator inside the epilogue — the same
+# max-commutes-with-requant identity entry_sd uses, so the result is
+# bit-identical to conv3x3 -> +bias -> leaky -> requant -> maxpool2x2/s2
+# (reference semantics: hls/core/core_compute.cpp conv + pool engines).
+# ---------------------------------------------------------------------------
+
+def _mm_kernel_pool4(xh_ref, xl_ref, w_ref, nconst_ref, bias_ref, o_ref,
+                     acch, accl, rsum, *, ksteps, tn, gn, shift_out, leaky,
+                     bal):
+    @pl.when(pl.program_id(2) == 0)
+    def _zero():
+        acch[:] = jnp.zeros_like(acch)
+        accl[:] = jnp.zeros_like(accl)
+        if not bal:
+            rsum[:] = jnp.zeros_like(rsum)
+
+    xh, xl = xh_ref[:], xl_ref[:]
+    w2 = w_ref[:]
+    acch[:] += jnp.dot(xh, w2, preferred_element_type=jnp.int32)
+    accl[:] += jnp.dot(xl, w2, preferred_element_type=jnp.int32)
+    if not bal:
+        rsum[:] += ((jnp.sum(xh.astype(jnp.int32), axis=1,
+                             keepdims=True) << 8)
+                    + jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True))
+
+    @pl.when(pl.program_id(2) == ksteps - 1)
+    def _epi():
+        acc = _recombine(acch[:], accl[:], None if bal else rsum[:],
+                         nconst_ref[0, 0], tn)
+        # groups-major pool max on the TRUE int32 accumulator (nconst is
+        # already folded in per column, so each group's lanes carry real
+        # sums); max commutes with the monotone requant chain
+        m = acc[:, :gn]
+        for g in range(1, tn // gn):
+            m = jnp.maximum(m, acc[:, g * gn:(g + 1) * gn])
+        o_ref[:] = _requant(m, bias_ref[0, 0, :gn], shift_out, leaky)
+
+
+def prep_entry_sdmm_weights(w4: np.ndarray, bias_shifted: np.ndarray):
+    """w4 (4, 4, C, 4N) int16 (make_entry_sd_weights layout, groups-major
+    output channels) -> wp for entry_sdmm_forward.
+
+    K layout matches the patch builder: k = (a, b, py, px, c) where the
+    original 4x4 tap is (2a+py, 2b+px) — i.e. (cell-row, cell-col,
+    row-parity, col-parity, channel) of the space-to-depth(2) view.
+    """
+    kh, kw, C, N4 = w4.shape
+    assert (kh, kw) == (4, 4) and N4 % 4 == 0
+    N = N4 // 4
+    wmat = (w4.reshape(2, 2, 2, 2, C, N4)     # (a, py, b, px, c, n)
+            .transpose(0, 2, 1, 3, 4, 5)      # (a, b, py, px, c, n)
+            .reshape(16 * C, N4))
+    wp = prep_matmul_weights(wmat, np.tile(
+        bias_shifted.astype(np.int32), 4))
+    assert wp["Np"] == wp["tn"], (
+        "entry_sdmm needs a single N tile (pool groups span all lanes)",
+        wp["Np"], wp["tn"])
+    wp["groups"] = 4
+    wp["N_out"] = N
+    return wp
+
+
+def entry_sdmm_forward(xq_nchw: jnp.ndarray, wp: dict, shift_out: int,
+                       leaky: bool, interpret: bool | None = None):
+    """Fused entry conv3x3/s1 + darknet maxpool2x2/s2 as one patch-matmul.
+
+    xq_nchw (B, C, H, W) int16, H and W even. Returns (B, H//2, W//2, N)
+    int16 — bit-identical to entry_sd / conv+pool (see module comment).
+
+    The patch tensor is built at the XLA level as (hi, lo) s8 planes
+    (split16 runs once on the DENSE NCHW image, 42x cheaper than on a
+    3-lane NHWC tensor) via reshape/slice only — no gathers.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    B, C, H, W = xq_nchw.shape
+    assert H % 2 == 0 and W % 2 == 0
+    Ho, Wo = H // 2, W // 2
+    # conv SAME pad 1 + 4x4 window anchored at (2i-1, 2j-1): pad (1, 2)
+    # each spatial side (same geometry as convops.conv_pool_entry_sd)
+    xh, xl = split16(xq_nchw)
+    ph = jnp.pad(xh, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    pl_ = jnp.pad(xl, ((0, 0), (0, 0), (1, 1), (1, 1)),
+                  constant_values=-128)
+
+    def s2d(v):
+        # (B, C, H+2, W+2) -> cells (B, Ho+1, Wo+1, 2, 2, C) -> 4C planes
+        v = v.reshape(B, C, Ho + 1, 2, Wo + 1, 2)
+        v = v.transpose(0, 2, 4, 3, 5, 1)            # (B, I, J, py, px, c)
+        return v.reshape(B, Ho + 1, Wo + 1, 4 * C)
+
+    sh, sl = s2d(ph), s2d(pl_)
+    parts_h = [sh[:, a:a + Ho, b:b + Wo] for a in (0, 1) for b in (0, 1)]
+    parts_l = [sl[:, a:a + Ho, b:b + Wo] for a in (0, 1) for b in (0, 1)]
+    K = 16 * C
+    gh = jnp.concatenate(parts_h, axis=-1).reshape(-1, K)
+    gl = jnp.concatenate(parts_l, axis=-1).reshape(-1, K)
+
+    kp, np_, tn = wp["Kp"], wp["Np"], wp["tn"]
+    gn = np_ // wp["groups"]
+    if K != kp:
+        gh, gl = pad_planes((gh, gl), ((0, 0), (0, kp - K)))
+    M = gh.shape[0]
+    budget = 8 << 20
+    pref = 512
+    while pref < 4096 and (8 * 2 * pref * tn + 4 * pref * kp) < budget:
+        pref *= 2
+    tm = _pick_tile(M, pref, 32)
+    if tm > 4096 or (tm < min(256, M) <= pref):
+        tm = pref
+    pad_m = (-M) % tm
+    if pad_m:
+        gh, gl = pad_planes((gh, gl), ((0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    tk = kp if kp <= 1024 else _pick_tile(kp, 1024, 128)
+    ksteps = kp // tk
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tk, 2 * tn), lambda i, j, k: (k, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tn), lambda i, j, k: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tn), lambda i, j, k: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [pltpu.VMEM((tm, 2 * tn), jnp.int32),
+               pltpu.VMEM((tm, 2 * tn), jnp.int32),
+               pltpu.VMEM((tm, 1), jnp.int32)]
+    out = pl.pallas_call(
+        functools.partial(
+            _mm_kernel_pool4, ksteps=ksteps, tn=tn, gn=gn,
+            shift_out=shift_out, leaky=leaky, bal=wp.get("bal", False)),
+        grid=(Mp // tm, np_ // tn, ksteps), in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, gn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, gn), jnp.int16),
+        scratch_shapes=scratch, interpret=interpret,
+    )(gh, gl, wp["w2"], wp["nconst"].reshape(np_ // tn, 1, tn),
+      wp["bias"].reshape(np_ // tn, 1, tn))
+    out = out[:M] if pad_m else out
+    return out.reshape(B, Ho, Wo, gn)[..., :wp["N_out"]]
+
+
+# ---------------------------------------------------------------------------
 # Kernel 2: fused 3x3/s1 conv — halo bands, tap or abuf contraction,
 # flat output rows, optional G images per program
 # ---------------------------------------------------------------------------
