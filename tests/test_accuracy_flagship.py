@@ -141,10 +141,10 @@ def test_flagship_w8a16_within_criterion_int8_quantified(trained_flagship):
       BASELINE 0.1-mAP criterion vs fp32 — measured 0.575 vs fp32's 0.417
       on the sweep's training run (16-bit activations carry the accuracy;
       8-bit per-channel weights cost ~nothing).
-    - w8a8 (8-bit activations) degrades at 23-conv depth under the po2
-      per-layer activation contract no matter the weight scales (sweep:
-      0.06-0.17 across margins/per-channel) — assert only the stable
-      ordering: it runs, detects something, and loses to w8a16.
+    - w8a8 with the 16-bit detection-head epilogue (conv_int8 head16) and
+      margin-1.0 calibration must ALSO meet the 0.1-mAP criterion — the
+      2026-08-19 sweep reads 0.369 vs fp32's 0.375 (pre-head16 it lost
+      0.136 and failed; 8-bit region logits were the dominant error).
     """
     from yolotpu.quant import (calibrate_activations_int8,
                                quantize_weights_int8, quantize_weights_w8a16)
@@ -166,7 +166,7 @@ def test_flagship_w8a16_within_criterion_int8_quantified(trained_flagship):
     quantize_weights_int8(store, act_q8)
     eng8 = Engine(spec, store, precision="int8", backend="xla")
     r8 = yeval.evaluate_engine(eng8, pairs, num_classes=80, thresh=0.05)
-    assert 0.0 < r8["mAP_50"] <= r_w8["mAP_50"], (r8, r_w8)
+    assert r8["mAP_50"] >= r32["mAP_50"] - 0.1, (r32, r8)
 
 
 def test_flagship_pallas_map_identical_to_int32(trained_flagship):

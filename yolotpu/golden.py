@@ -299,23 +299,34 @@ def conv_w8a16_int32acc(x: np.ndarray, weights: np.ndarray, bias: np.ndarray,
 
 def conv_int8_int32acc(x: np.ndarray, weights: np.ndarray, bias: np.ndarray,
                        spec: ConvSpec, qw, qa_in: int, qa_out: int,
-                       qb) -> np.ndarray:
+                       qb, head16: bool = False) -> np.ndarray:
     """numpy twin of the w8a8 turbo conv (ops.convops.conv_int8). ``qw``
-    and ``qb`` may be per-output-channel (n,) arrays (per-channel tier)."""
+    and ``qb`` may be per-output-channel (n,) arrays (per-channel tier).
+
+    ``head16``: detection-head epilogue — requant to int16 at an
+    8-bits-finer scale (Qa_out + 8), constructed exactly like the jax
+    path (bias rounded at Qa_out, THEN << 8, so both sides share the
+    same rounding)."""
     cols = im2col(x.astype(np.int64), spec.size, spec.stride, spec.pad)
     acc = weights.reshape(spec.n, -1).astype(np.int64) @ cols
     acc = acc.reshape(spec.n, spec.out_h, spec.out_w)
     bias_shifted = shift_round_half_up(bias.astype(np.int64),
                                        np.asarray(qb) - qa_out)
     shift = qa_in + np.asarray(qw) - qa_out
-    if shift.ndim:
-        shift = shift.reshape(-1, 1, 1)
+    if head16:
+        bias_shifted = bias_shifted << 8
+        shift = shift - 8
+        lim = 32767
+    else:
+        lim = 127
+    if np.ndim(shift):
+        shift = np.reshape(shift, (-1, 1, 1))
     v = shift_round_half_up(acc, shift) + bias_shifted.reshape(-1, 1, 1)
-    v = np.clip(v, -128, 127)
+    v = np.clip(v, -lim - 1, lim)
     if spec.activation == "leaky":
         v32 = v.astype(np.int32)
-        v = np.clip(np.where(v32 < 0, -((-v32) // 10), v32), -128, 127)
-    return v.astype(np.int8)
+        v = np.clip(np.where(v32 < 0, -((-v32) // 10), v32), -lim - 1, lim)
+    return v.astype(np.int16 if head16 else np.int8)
 
 
 # ---------------------------------------------------------------------------
@@ -356,6 +367,13 @@ class GoldenNet:
                 acts[l.idx] = cur
         acts[self.spec.n - 1] = cur
         return acts
+
+    def _region_idx(self):
+        from .graph import RegionSpec as _RS
+        for l in self.spec.layers:
+            if isinstance(l, _RS):
+                return l.idx
+        return None
 
     def forward_int16(self, x_fp32: np.ndarray,
                       weights_q: dict[int, tuple[np.ndarray, np.ndarray]],
@@ -404,9 +422,12 @@ class GoldenNet:
                            "int32": conv_int16_int32acc,
                            "int8": conv_int8_int32acc,
                            "w8a16": conv_w8a16_int32acc}[mode]
+                kw = {}
+                if mode == "int8" and self._region_idx() == l.idx + 1:
+                    kw["head16"] = True      # 16-bit region logits (jax twin)
                 cur = conv_fn(cur, w, b, l, qtab.weight_q[conv_i],
-                              qa_in, qa_out, qtab.bias_q[conv_i])
-                cur_q = qa_out
+                              qa_in, qa_out, qtab.bias_q[conv_i], **kw)
+                cur_q = qa_out + (8 if kw.get("head16") else 0)
                 conv_i += 1
                 pending_route_q = None
             elif isinstance(l, MaxPoolSpec):

@@ -574,8 +574,14 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                     cur = convops.conv_fp32(cur, pw["w"], pw["b"], l.stride,
                                             l.pad, l.activation)
                 elif is_int8:
+                    # the conv feeding the region head emits int16 logits
+                    # at an 8-bits-finer scale (head16): 8-bit region
+                    # logits quantize the box regression away for free-
+                    # to-fix cost (<1% of MACs; see conv_int8)
+                    head16 = (region_spec is not None
+                              and l.idx + 1 == region_spec.idx)
                     done = False
-                    if compute == "pallas" and "wp8" in pw:
+                    if compute == "pallas" and "wp8" in pw and not head16:
                         from ..ops import pallas_q16 as q16
                         v = q16.conv3x3_s8_wi(
                             cur, pw["wp8"], leaky=(l.activation == "leaky"))
@@ -586,7 +592,8 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                         cur = convops.conv_int8(
                             cur, pw["w"], pw["b"], l.stride, l.pad,
                             l.activation, plan.conv_shift_out[l.idx],
-                            use_pallas=(compute == "pallas"))
+                            use_pallas=(compute == "pallas"),
+                            head16=head16)
                 elif is_w8a16:
                     done = False
                     if compute == "pallas" and "wp8" in pw:
@@ -834,7 +841,9 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                 if cur_layout != "flat":
                     cur = flat(cur)
                     cur_layout = "flat"
-                head = (convops.dequantize_int16(exact(cur), plan.output_q)
+                head = (convops.dequantize_int16(
+                            exact(cur),
+                            plan.output_q + (8 if is_int8 else 0))
                         if plan is not None else cur)
                 cur = head
                 cur_real = cur.shape[-1]

@@ -427,7 +427,7 @@ def conv_w8a16(x: jnp.ndarray, w8: jnp.ndarray, cw: jnp.ndarray,
 
 def conv_int8(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
               stride: int, pad: int, activation: str, shift_out,
-              use_pallas: bool = False) -> jnp.ndarray:
+              use_pallas: bool = False, head16: bool = False) -> jnp.ndarray:
     """w8a8 turbo conv: int8 x int8 -> int32 on the MXU, one requant.
 
     Same fixed-point structure as conv_int16 but at 8-bit scales (the int8
@@ -447,8 +447,8 @@ def conv_int8(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
     if w.shape[0] == 1 and w.shape[1] == 1 and stride == 1:
         b_, h_, w_, c_ = xp.shape
         f_ = w.shape[3]
-        if use_pallas and (b_ * h_ * w_) % 512 == 0 and c_ % 128 == 0 \
-                and f_ % 128 == 0:
+        if use_pallas and not head16 and (b_ * h_ * w_) % 512 == 0 \
+                and c_ % 128 == 0 and f_ % 128 == 0:
             from .pallas_matmul import matmul_int8_requant
             v = matmul_int8_requant(xp.reshape(-1, c_), w.reshape(c_, f_),
                                     bias_shifted, shift_out,
@@ -456,7 +456,7 @@ def conv_int8(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
             return v.reshape(b_, h_, w_, f_)
         acc = jnp.dot(xp.reshape(-1, c_), w.reshape(c_, -1),
                       preferred_element_type=jnp.int32).reshape(b_, h_, w_, -1)
-    elif (use_pallas and _INT8_PALLAS_3X3
+    elif (use_pallas and _INT8_PALLAS_3X3 and not head16
           and w.shape[0] == 3 and w.shape[1] == 3 and stride == 1
           and pad == 1 and x.shape[-1] % 128 == 0 and w.shape[3] % 128 == 0
           and activation in ("leaky", "linear")):
@@ -480,6 +480,20 @@ def conv_int8(x: jnp.ndarray, w: jnp.ndarray, bias_shifted: jnp.ndarray,
         acc = lax.conv_general_dilated(xp, w, (stride, stride), p,
                                        dimension_numbers=DN,
                                        preferred_element_type=jnp.int32)
+    if head16:
+        # detection-head epilogue: same s8 MXU conv, requant to int16 at
+        # an 8-bits-finer scale (shift-8, bias<<8). 8-bit region logits
+        # quantize the box regression away; 16-bit ones are free — the
+        # head conv is <1% of the model's MACs and nothing consumes its
+        # output on-device except the dequantizing region decode
+        v = jnp.clip(rs(acc, shift_out - 8)
+                     + (bias_shifted.astype(jnp.int32) << 8),
+                     -32768, 32767)
+        if activation == "leaky":
+            v = jnp.clip(leaky_int16(v), -32768, 32767)
+        elif activation != "linear":
+            raise NotImplementedError(f"int8 activation {activation}")
+        return v.astype(jnp.int16)
     v = jnp.clip(rs(acc, shift_out) + bias_shifted, -128, 127)
     if activation == "leaky":
         v = jnp.clip(leaky_int16(v), -128, 127)

@@ -168,13 +168,15 @@ def quantize_weights_w8a16(store: WeightStore, act_q: list[int],
 
 def calibrate_activations_int8(spec: NetworkSpec, store: WeightStore,
                                images_chw: list[np.ndarray],
-                               margin: float = 1.4) -> list[int]:
+                               margin: float = 1.0) -> list[int]:
     """iofm table at int8 scales (same graph-consistency rules).
 
-    Default margin 1.4, NOT the int16 tier's 2.0: at 8 bits the half-bit
-    of headroom costs real signal — flagship-depth mAP 0.28 at margin 1.4
-    vs 0.16 at 2.0 (tools/int8_accuracy_sweep.py; saturation from the
-    tighter margin is the lesser evil)."""
+    Default margin 1.0, NOT the int16 tier's 2.0: at 8 bits every bit of
+    headroom costs real signal. With the 16-bit detection-head epilogue
+    (conv_int8 head16) the flagship-depth sweep reads mAP 0.369 at margin
+    1.0 vs 0.286 at 1.4 vs 0.138 at 2.0, against fp32's 0.375 — within
+    0.006 of fp32 (tools/int8_accuracy_sweep.py, 2026-08-19; saturation
+    from the tighter margin is the lesser evil)."""
     act_q16 = calibrate_activations(spec, store, images_chw, margin)
     # identical absmax statistics, 8-bit headroom: q8 = q16 - 8
     return [q - 8 for q in act_q16]
