@@ -100,7 +100,10 @@ def trained_flagship(tmp_path_factory):
     from PIL import Image
     eval_rng = np.random.default_rng(99)
     pairs = []
-    for i in range(6):
+    # 16 eval scenes, matching tools/int8_accuracy_sweep.py: at 6 the
+    # per-tier mAP deltas sit inside the small-sample noise (~0.08 per
+    # lost object) and the 0.1-criterion assertion is a coin flip
+    for i in range(16):
         img, boxes, classes = make_scene(eval_rng)
         ip = str(out_dir / f"eval{i}.png")
         lp = str(out_dir / f"eval{i}.txt")
@@ -123,7 +126,7 @@ def test_flagship_fp32_learns_and_int16_within_criterion(trained_flagship):
     spec, store, pairs = trained_flagship
     eng32 = Engine(spec, store, precision="fp32", backend="xla")
     r32 = yeval.evaluate_engine(eng32, pairs, num_classes=80, thresh=0.05)
-    assert r32["images"] == 6
+    assert r32["images"] == 16
     assert r32["mAP_50"] >= 0.3, r32   # nontrivial detection at depth 23
 
     _quantize(spec, store, pairs)
