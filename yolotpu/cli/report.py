@@ -40,12 +40,21 @@ def _metrics_run(args) -> dict:
     store = load_or_synthesize(spec, args.weights_dir, args.precision,
                                synthetic=args.synthetic_weights)
     if args.precision == "int16":
-        params = m.params_int16(spec, store)
+        # compute="pallas" needs the kernel weight packs (engine-plan
+        # selection); the int32/f32 modes take the plain int16 params
+        params = (m.params_q16(spec, store) if args.compute == "pallas"
+                  else m.params_int16(spec, store))
         fwd = m.build_forward(spec, "int16", store.qtables, args.compute,
                               ("head", "boxes"))
     elif args.precision == "int8":
-        params = m.params_int8(spec, store)
+        params = m.params_int8(spec, store,
+                               pallas=(args.compute == "pallas"))
         fwd = m.build_forward(spec, "int8", store.qtables8, args.compute,
+                              ("head", "boxes"))
+    elif args.precision == "w8a16":
+        params = m.params_w8a16(spec, store,
+                                pallas=(args.compute == "pallas"))
+        fwd = m.build_forward(spec, "w8a16", store.qtables_w8, args.compute,
                               ("head", "boxes"))
     else:
         params = m.params_fp32(spec, store)
