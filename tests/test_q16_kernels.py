@@ -391,6 +391,54 @@ def test_entry_sd_conv_pool_exact(shift, act):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("shift,act", [(7, "leaky"), (5, "linear")])
+def test_entry_s2d_conv_pool_exact(shift, act):
+    """Block-aligned space-to-depth entry (2x2/s1 conv over 4C channels)
+    == the entry_sd formulation bit for bit, saturation extremes
+    included (same int32 accumulation, sums reordered)."""
+    B, H, W, C, N = 2, 20, 16, 3, 32
+    rng = np.random.default_rng(17)
+    xq = rng.integers(-32768, 32768, (B, C, H, W)).astype(np.int16)
+    xq[0, :, 0] = 32767
+    xq[1, :, -1] = -32768
+    w = rng.integers(-32768, 32768, (3, 3, C, N)).astype(np.int16)
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    want = np.asarray(convops.conv_pool_entry_sd(
+        jnp.asarray(xq), jnp.asarray(convops.make_entry_sd_weights(w, N)),
+        jnp.asarray(bias), shift, act))
+    got = np.asarray(convops.conv_pool_entry_s2d(
+        jnp.asarray(xq), jnp.asarray(convops.make_entry_s2d_weights(w, N)),
+        jnp.asarray(bias), shift, act))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_net_entry_s2d_bitexact(monkeypatch):
+    """Whole 64px graph with the entry_s2d override == the int32 tier
+    bit-for-bit (plan routing + prologue s2d glue)."""
+    from yolotpu.models import yolov2, zoo
+    from yolotpu.quant import calibrate_activations, quantize_weights
+    from yolotpu.weights import WeightStore
+
+    monkeypatch.setenv("YOLO2_Q16_PLAN", "0:entry_s2d")
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    rng = np.random.default_rng(103)
+    img = rng.random((3, 64, 64)).astype(np.float32)
+    act_q = calibrate_activations(spec, store, [img])
+    quantize_weights(store, act_q)
+    x = jnp.asarray(img.transpose(1, 2, 0)[None])
+    pi = yolov2.params_int16(spec, store)
+    fi = yolov2.build_forward(spec, "int16", store.qtables,
+                              compute="int32", outputs=("head",))
+    want = np.asarray(fi(pi, x)["head"])
+    params = yolov2.params_q16(spec, store)
+    assert params["conv0"]["kind"] == "entry_s2d"
+    fwd = yolov2.build_forward(spec, "int16", store.qtables,
+                               compute="pallas", outputs=("head",))
+    got = np.asarray(fwd(params, x)["head"])
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("shift,act,wmax", [(9, "leaky", 30000),
                                             (6, "linear", 32767)])
 def test_entry_sdmm_conv_pool_exact(shift, act, wmax):

@@ -63,8 +63,8 @@ import os
 from ..graph import ConvSpec, MaxPoolSpec, NetworkSpec
 
 PRODUCTION_KINDS = ("mm", "conv3", "entry_sd", "xla")
-EVIDENCE_KINDS = ("entryf", "entry8", "entry_sdmm", "conv3p2", "mm_pairs",
-                  "mm_patches", "nchw", "xla8")
+EVIDENCE_KINDS = ("entryf", "entry8", "entry_sdmm", "entry_s2d", "conv3p2",
+                  "mm_pairs", "mm_patches", "nchw", "xla8")
 ALL_KINDS = PRODUCTION_KINDS + EVIDENCE_KINDS
 
 

@@ -257,6 +257,18 @@ def _prep_engine(kind: str, l: ConvSpec, spec: NetworkSpec,
                 "w": jnp.asarray(whwio),
                 "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
 
+    if kind == "entry_s2d":
+        # the entry_sd accumulation re-indexed over a space-to-depth(2)
+        # input: a block-aligned 2x2/s1 conv over 4C channels replaces the
+        # 4x4/s2 overlapping-window conv XLA tiles poorly at C=3
+        need(l.size == 3 and regular and l.c <= 4 and l.h % 2 == 0
+             and l.w % 2 == 0 and ep.next_is_pool22(spec, l.idx),
+             "3x3/s1 C<=4 entry followed by a darknet 2x2/s2 pool")
+        w2 = convops.make_entry_s2d_weights(whwio, l.n)
+        return {"kind": "entry_s2d", "w2": jnp.asarray(w2),
+                "w": jnp.asarray(whwio),
+                "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
+
     if kind == "entry_sdmm":
         # evidence-only (lost 106.7 vs 92.3 ms e2e, round 4): the entry_sd
         # identity computed as ONE fused Pallas patch-matmul —
@@ -614,7 +626,7 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                     leaky = l.activation == "leaky"
                     kind = pw["kind"]
                     if (kind in ("entry8", "entryf", "entry_sd",
-                                 "entry_sdmm")
+                                 "entry_sdmm", "entry_s2d")
                             and (debug or l.idx in needed)):
                         # per-layer dumps / a route into the conv's own
                         # pre-pool output need the unfused intermediate:
@@ -631,6 +643,13 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                         xq = convops.quantize_input_int16(xt, plan.input_q)
                         cur = convops.conv_pool_entry_sd(
                             xq, pw["w4"], pw["b"], shift, l.activation)
+                        skip_pool.add(l.idx + 1)
+                        cur_layout = "flat"
+                    elif kind == "entry_s2d":
+                        xt = jnp.transpose(x, (0, 3, 1, 2))
+                        xq = convops.quantize_input_int16(xt, plan.input_q)
+                        cur = convops.conv_pool_entry_s2d(
+                            xq, pw["w2"], pw["b"], shift, l.activation)
                         skip_pool.add(l.idx + 1)
                         cur_layout = "flat"
                     elif kind == "entry_sdmm":

@@ -271,6 +271,64 @@ def conv_pool_entry_sd(x_nchw: jnp.ndarray, w4: jnp.ndarray,
     return v.astype(jnp.int16)
 
 
+def make_entry_s2d_weights(w_hwio, N: int):
+    """(3,3,C,N) int16 -> (2,2,4C,4N) weights for conv_pool_entry_s2d.
+
+    Same accumulation as make_entry_sd_weights, re-indexed for a
+    space-to-depth(2) input: the 4x4/s2 window becomes a 2x2/s1 window
+    over 2x2 blocks once the conv anchor is block-aligned (the forward
+    pads one row/col of zeros top-left first). s2d channel order is
+    (dy*2+dx)*C + c — block position major."""
+    import numpy as np
+    w4 = make_entry_sd_weights(w_hwio, N)          # (4,4,C,4N)
+    C = w_hwio.shape[2]
+    w2 = np.zeros((2, 2, 4 * C, 4 * N), w_hwio.dtype)
+    for ky in range(4):
+        for kx in range(4):
+            dy, dx = ky % 2, kx % 2
+            w2[ky // 2, kx // 2, (dy * 2 + dx) * C:(dy * 2 + dx + 1) * C, :] \
+                = w4[ky, kx, :, :]
+    return w2
+
+
+def conv_pool_entry_s2d(x_nchw: jnp.ndarray, w2: jnp.ndarray,
+                        bias_shifted: jnp.ndarray, shift_out: int,
+                        activation: str) -> jnp.ndarray:
+    """Fused entry conv3x3/s1 + darknet maxpool2x2/s2 over a
+    space-to-depth(2) input, pure XLA.
+
+    Identical int32 accumulation to conv_pool_entry_sd (sums reordered;
+    int32 wraparound addition commutes), but the conv the MXU sees is
+    2x2/s1 over 4C channels instead of 4x4/s2 over C: K stays 16*C while
+    the stride-2 overlapping-window geometry — the part XLA tiles poorly
+    for C=3 (measured 2.7 useful TOPS, reports/ r4 bundle) — disappears.
+
+    x_nchw (B, C, H, W) int16 DENSE, H, W even. Returns
+    (B, H//2, W//2, N) int16 NHWC.
+    """
+    b, c, h, w = x_nchw.shape
+    n4 = w2.shape[3]
+    # pad 1 top/left aligns every 4x4/s2 window (anchored at 2i-1) to the
+    # 2x2 block grid; 1 bottom/right completes the last block
+    xp = jnp.pad(x_nchw, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    hb, wb = (h + 2) // 2, (w + 2) // 2
+    xs = xp.reshape(b, c, hb, 2, wb, 2)
+    xs = jnp.transpose(xs, (0, 3, 5, 1, 2, 4)).reshape(b, 4 * c, hb, wb)
+    acc = lax.conv_general_dilated(
+        xs, w2, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)          # (B, hb-1, wb-1, 4N)
+    acc = acc[:, :h // 2, :w // 2, :]
+    b_, ho, wo, _ = acc.shape
+    acc = jnp.max(acc.reshape(b_, ho, wo, 4, n4 // 4), axis=3)
+    v = sat16(round_shift(acc, shift_out) + bias_shifted)
+    if activation == "leaky":
+        v = sat16(leaky_int16(v))
+    elif activation != "linear":
+        raise NotImplementedError(f"int16 activation {activation}")
+    return v.astype(jnp.int16)
+
+
 def split_weights_dec8(w) -> tuple | None:
     """Balanced s8 plane split of an int16 HWIO weight tensor for the dec8
     XLA engine: w == 256*wh + wl with wh, wl both s8, plus the activation
