@@ -23,6 +23,11 @@ Engine kinds (all bit-exact vs the int32 tier; see ops/pallas_q16.py):
                pool group-max (s2d packs the 4x4/s2 window into K=48)
                (lost 106.7 vs 92.3 ms e2e, r4: the lane-padded 48-channel
                patch planes cost more HBM than the XLA conv saves)
+    entry_s2d  entry_sd re-indexed over a space-to-depth(2) input — a
+               block-aligned 2x2/s1 conv over 4C channels replaces the
+               4x4/s2 overlapping-window conv (lost 95.2 vs 92.3 ms
+               through bench.py, r4: XLA prices the dense 4x4/s2 conv
+               better than the s2d reshape + 2x2 conv it replaces)
     conv3p2    2x2-spatial-packed 3x3 kernel           (lost round 2)
     mm_pairs   column-pair-packed entry conv           (175 ms)
     mm_patches XLA-im2col + fused matmul               (OOM at 416², ok small)
