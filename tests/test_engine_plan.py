@@ -82,17 +82,61 @@ def test_default_plan_kinds_real_yolov2():
     """The measured default plan over the REAL flagship graph: mm for all
     1x1, conv3/xla split by MAX_HW for 3x3, entry via the entry lever."""
     spec = zoo.build("yolov2")
+    knobs = ep.resolve_knobs()
+    max_hw = knobs["max_hw"]
     for l in spec.conv_layers():
-        kind = ep.select_engine(l, spec, entry=m._Q16_ENTRY,
-                                max_hw=m._Q16_PALLAS_MAX_HW)
+        kind = ep.select_engine(l, spec, entry=knobs["entry"],
+                                max_hw=max_hw)
         if l.size == 1:
             assert kind == "mm", (l.idx, kind)
         elif l.c < 8:
             assert kind in ("xla", "entry_sd"), (l.idx, kind)
         else:
-            want = ("xla" if l.out_h * l.out_w > m._Q16_PALLAS_MAX_HW
-                    else "conv3")
+            want = "xla" if l.out_h * l.out_w > max_hw else "conv3"
             assert kind == want, (l.idx, kind, want)
+
+
+def test_chip_plan_loaded_by_device_kind(tmp_path, monkeypatch):
+    """plans/<device_kind>.json drives the knobs for that chip; env levers
+    still win; an unknown chip falls back to the v5e table (VERDICT r4 #7)."""
+    monkeypatch.setenv("YOLO2_PLAN_DIR", str(tmp_path))
+    (tmp_path / "tpu_v9_mega.json").write_text(
+        '{"device_kind": "TPU v9 mega", "entry": "xla", "max_hw": 10816,'
+        ' "plan": {"4": "xla8"}}')
+
+    knobs = ep.resolve_knobs("TPU v9 mega")
+    assert knobs["entry"] == "xla"
+    assert knobs["max_hw"] == 10816
+    assert knobs["plan"] == {4: "xla8"}
+    assert knobs["xla_min_c"] == ep.V5E_DEFAULTS["xla_min_c"]
+
+    # env levers are bisection overrides on top of the chip plan
+    monkeypatch.setenv("YOLO2_Q16_PALLAS_MAX_HW", "676")
+    monkeypatch.setenv("YOLO2_Q16_PLAN", "4:xla,7:mm_patches")
+    knobs = ep.resolve_knobs("TPU v9 mega")
+    assert knobs["max_hw"] == 676
+    assert knobs["plan"] == {4: "xla", 7: "mm_patches"}
+    monkeypatch.delenv("YOLO2_Q16_PALLAS_MAX_HW")
+    monkeypatch.delenv("YOLO2_Q16_PLAN")
+
+    # unmeasured chip: v5e fallback
+    knobs = ep.resolve_knobs("TPU v99 imaginary")
+    assert knobs["entry"] == ep.V5E_DEFAULTS["entry"]
+    assert knobs["max_hw"] == ep.V5E_DEFAULTS["max_hw"]
+
+    # a plan file naming an unknown engine kind fails loudly
+    (tmp_path / "tpu_v9_bad.json").write_text('{"plan": {"0": "warp9"}}')
+    with pytest.raises(ValueError, match="unknown engine kind"):
+        ep.resolve_knobs("TPU v9 bad")
+
+
+def test_chip_plan_checked_in_for_v5e():
+    """The real chip's plan file exists in-tree and matches the measured
+    defaults the rounds-2..4 campaign converged on."""
+    knobs = ep.resolve_knobs("TPU v5 lite")
+    assert knobs["entry"] == "sd"
+    assert knobs["max_hw"] == 2704
+    assert ep.load_chip_plan("TPU v5 lite") is not None
 
 
 def test_entry_sd_selected_with_entry_lever():

@@ -6,6 +6,8 @@ for in-range sums); the decomposition computes the same value mod 2^32 by
 multi-word arithmetic. Kernels run in interpret mode on CPU.
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -212,9 +214,9 @@ def test_full_net_pallas_bitexact_vs_golden():
     rng = np.random.default_rng(100)
     # force the full hybrid kind mix regardless of the production default
     # (which routes all 3x3 to XLA per in-program bisection)
-    old_min_c = yolov2._Q16_XLA_MIN_C
+    old_env = os.environ.get("YOLO2_Q16_XLA_MIN_C")
     try:
-        yolov2._Q16_XLA_MIN_C = 192
+        os.environ["YOLO2_Q16_XLA_MIN_C"] = "192"
         img = rng.random((3, 64, 64)).astype(np.float32)
         act_q = calibrate_activations(spec, store, [img])
         quantize_weights(store, act_q)
@@ -227,7 +229,10 @@ def test_full_net_pallas_bitexact_vs_golden():
         head = np.asarray(fwd(params, jnp.asarray(
             img.transpose(1, 2, 0)[None]))["head"])[0]
     finally:
-        yolov2._Q16_XLA_MIN_C = old_min_c
+        if old_env is None:
+            os.environ.pop("YOLO2_Q16_XLA_MIN_C", None)
+        else:
+            os.environ["YOLO2_Q16_XLA_MIN_C"] = old_env
     np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
     # coverage sanity: the graph must exercise every kernel kind
     kinds = {params[f"conv{l.idx}"]["kind"] for l in spec.conv_layers()}
@@ -247,8 +252,8 @@ def test_full_net_dec8_bitexact(monkeypatch):
     spec = zoo.build("yolov2", width=64, height=64)
     store = WeightStore.synthetic(spec, seed=0)
     rng = np.random.default_rng(100)
-    monkeypatch.setattr(yolov2, "_Q16_XLA_DEC8", True)
-    monkeypatch.setattr(yolov2, "_Q16_XLA_MIN_C", 192)
+    monkeypatch.setenv("YOLO2_Q16_XLA_DEC8", "1")
+    monkeypatch.setenv("YOLO2_Q16_XLA_MIN_C", "192")
     img = rng.random((3, 64, 64)).astype(np.float32)
     act_q = calibrate_activations(spec, store, [img])
     quantize_weights(store, act_q)
@@ -499,7 +504,7 @@ def test_full_net_entry_sd_bitexact(monkeypatch):
     from yolotpu.quant import calibrate_activations, quantize_weights
     from yolotpu.weights import WeightStore
 
-    monkeypatch.setattr(yolov2, "_Q16_ENTRY", "sd")
+    monkeypatch.setenv("YOLO2_Q16_ENTRY", "sd")
     spec = zoo.build("yolov2", width=64, height=64)
     store = WeightStore.synthetic(spec, seed=0)
     rng = np.random.default_rng(101)

@@ -327,3 +327,48 @@ def test_watchdog_recovery_redispatch(monkeypatch):
         raise AssertionError("watchdog did not raise")
     except TimeoutError as e:
         assert "twice" in str(e)
+
+
+def test_watchdog_abandoned_thread_cap(monkeypatch):
+    """A flapping device link cannot stack abandoned daemon threads
+    silently: once WATCHDOG_MAX_ABANDONED workers are still parked, the
+    next dispatch fails fast instead of adding another (VERDICT r4 #10)."""
+    import threading as _threading
+    from yolotpu.runtime.engine import Engine, load_or_synthesize
+
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = load_or_synthesize(spec, None, "fp32", synthetic=True)
+    eng = Engine(spec, store, precision="fp32", backend="golden")
+
+    monkeypatch.setenv("YOLO2_LAYER_TIMEOUT_MS", "100")
+    release = _threading.Event()
+
+    def hang_until_released(x):
+        release.wait(timeout=30)
+        return x
+
+    # each timed-out call abandons TWO workers (initial + recovery
+    # re-dispatch), so cap//2 calls reach the cap
+    for i in range(Engine.WATCHDOG_MAX_ABANDONED // 2):
+        eng._seen_shapes = getattr(eng, "_seen_shapes", set())
+        eng._seen_shapes.add((f"c{i}", (1,)))
+        try:
+            eng._guarded(hang_until_released, np.ones(1), tag=f"c{i}")
+            raise AssertionError("watchdog did not time out")
+        except TimeoutError:
+            pass
+    assert len(eng._abandoned_threads) == Engine.WATCHDOG_MAX_ABANDONED
+
+    eng._seen_shapes.add(("cap", (1,)))
+    try:
+        eng._guarded(hang_until_released, np.ones(1), tag="cap")
+        raise AssertionError("cap did not fail fast")
+    except RuntimeError as e:
+        assert "abandoned" in str(e)
+
+    # once the parked workers drain, dispatch works again
+    release.set()
+    for t in list(eng._abandoned_threads):
+        t.join(timeout=10)
+    out = eng._guarded(lambda x: x * 3, np.ones(1), tag="cap")
+    assert out[0] == 3

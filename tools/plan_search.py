@@ -75,6 +75,10 @@ def main(argv=None) -> int:
         REPO, "plans", "yolov2_416_v5e.json"))
     ap.add_argument("--configs", default="",
                     help="comma list of config names to run (default all)")
+    ap.add_argument("--emit-plan", action="store_true",
+                    help="also write plans/<device_kind>.json for the "
+                         "running chip from the winning config (loaded by "
+                         "engine_plan.resolve_knobs at params-build time)")
     args = ap.parse_args(argv)
 
     # run in the order given on the command line (most promising first, so
@@ -100,6 +104,30 @@ def main(argv=None) -> int:
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {args.out}; winner: {out['winner']}")
+
+    if args.emit_plan and best:
+        sys.path.insert(0, REPO)
+        from yolotpu.models import engine_plan as ep
+        kind = ep.current_device_kind()
+        env = best["env"]
+        plan = {
+            "device_kind": kind,
+            "model": "yolov2",
+            "entry": env.get("YOLO2_Q16_ENTRY", ep.V5E_DEFAULTS["entry"]),
+            "max_hw": int(env.get("YOLO2_Q16_PALLAS_MAX_HW",
+                                  ep.V5E_DEFAULTS["max_hw"])),
+            "xla_min_c": int(env.get("YOLO2_Q16_XLA_MIN_C",
+                                     ep.V5E_DEFAULTS["xla_min_c"])),
+            "plan": {str(i): k for i, k in sorted(
+                ep._parse_plan_items(env.get("YOLO2_Q16_PLAN", "")).items())},
+            "evidence": os.path.relpath(args.out, REPO),
+            "date": time.strftime("%Y-%m-%d"),
+        }
+        path = os.path.join(ep.plan_dir(),
+                            f"{ep.device_kind_slug(kind)}.json")
+        with open(path, "w") as f:
+            json.dump(plan, f, indent=2)
+        print(f"wrote chip plan {path}")
     return 0
 
 

