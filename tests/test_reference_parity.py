@@ -203,3 +203,79 @@ def test_per_layer_dumps_bit_exact(oracle, artifacts):
             mine, ref, err_msg=f"layer {l.idx} ({l.type}) diverges")
         checked += 1
     assert checked >= 29   # 23 convs + 5 pools + 1 reorg
+
+
+def test_jpeg_dog_parity_within_decoder_tolerance(oracle, artifacts):
+    """The canonical reference input (dog.jpg) through BOTH stacks
+    (VERDICT r4 #8). JPEG decoders legitimately differ (stb vs PIL IDCT
+    rounding, ±2/255 per pixel), so exactness is impossible by
+    construction; instead the ±2/255 input delta is propagated to an
+    EMPIRICAL region-tensor tolerance: the same network is run on the
+    PIL decode perturbed by synthetic ±2 u8 noise, and the reference's
+    deviation must sit within 3x the worst measured sensitivity."""
+    from yolotpu.image import load_image, letterbox_image
+    from yolotpu.runtime.engine import Engine
+    from yolotpu.weights import WeightStore
+
+    wd, spec, store, _ = artifacts
+    dog = reference_path("examples", "test_images", "dog.jpg")
+    if dog is None:
+        pytest.skip("dog.jpg not in the reference checkout")
+
+    env = dict(os.environ)
+    env.pop("YOLO2_NO_DUMP", None)
+    env["YOLO2_DUMP_REGION_RAW"] = str(wd / "ref_dog_raw.txt")
+    env["YOLO2_DUMP_REGION"] = str(wd / "ref_dog_proc.txt")
+    subprocess.run(
+        [f"{oracle}/ref_detect_int16",
+         "--cfg", reference_path("config", "yolov2.cfg"),
+         "--names", reference_path("config", "coco.names"),
+         "--input", dog, "--precision", "int16", "--output", "results/dog"],
+        cwd=wd, check=True, capture_output=True, env=env)
+    ref_raw = np.loadtxt(wd / "ref_dog_raw.txt")
+
+    st = WeightStore.load_int16(
+        spec, str(wd / "weights" / "weights_reorg_int16.bin"),
+        str(wd / "weights" / "bias_int16.bin"), str(wd / "weights"),
+        reorg=True)
+    eng = Engine(spec, st, precision="int16", backend="golden",
+                 compute="exact")
+    im = load_image(dog)                      # PIL decode, CHW f32/255
+    os.environ["YOLO2_DUMP_REGION_RAW"] = str(wd / "my_dog_raw.txt")
+    os.environ["YOLO2_DUMP_REGION"] = str(wd / "my_dog_proc.txt")
+    try:
+        eng.detect(im, 0.25, 0.45)
+    finally:
+        os.environ.pop("YOLO2_DUMP_REGION_RAW")
+        os.environ.pop("YOLO2_DUMP_REGION")
+    mine_raw = np.loadtxt(wd / "my_dog_raw.txt")
+    delta_ref = np.abs(ref_raw - mine_raw)
+
+    # Empirical sensitivity: the SAME network (xla int16 engine — bit-exact
+    # to the golden int32 tier, fast enough for multiple draws) on the PIL
+    # decode vs the PIL decode + uniform ±2/255 noise (the documented stb
+    # vs PIL decoder variance, tests header).
+    eng_x = Engine(spec, st, precision="int16", backend="xla",
+                   compute="int32", warmup=False)
+    boxed = letterbox_image(im, spec.net.width, spec.net.height)
+    base = eng_x.predict(boxed).head_chw.reshape(-1)
+    rng = np.random.default_rng(0)
+    sens = 0.0
+    for _draw in range(2):
+        u8 = np.clip(np.round(im * 255.0)
+                     + rng.integers(-2, 3, im.shape), 0, 255)
+        im_n = (u8 / 255.0).astype(np.float32)
+        boxed_n = letterbox_image(im_n, spec.net.width, spec.net.height)
+        noisy = eng_x.predict(boxed_n).head_chw.reshape(-1)
+        sens = max(sens, float(np.abs(noisy - base).max()))
+    assert sens > 0.0                          # the probe must be live
+
+    # one dequantized Q step at the head scale bounds pure rounding
+    qstep = float(np.abs(np.diff(np.unique(mine_raw))).min())
+    tol = max(3.0 * sens, 4.0 * qstep)
+    assert delta_ref.max() <= tol, (
+        f"dog.jpg region delta {delta_ref.max():.6f} exceeds empirical "
+        f"decoder tolerance {tol:.6f} (sensitivity {sens:.6f}, "
+        f"qstep {qstep:.6f})")
+    # and the deviation must be decoder-shaped: tiny on average
+    assert float(delta_ref.mean()) <= sens, (delta_ref.mean(), sens)

@@ -131,10 +131,27 @@ def _metrics_run(args) -> dict:
                              compute=args.compute, batch=args.batch)
         per_layer = rep.as_dicts()
 
+    # Accuracy evidence for this tier at this resolution (written by
+    # tools/accuracy_protocol.py): the bundle then carries fps + p50 +
+    # mAP delta for one configuration in one artifact (VERDICT r4 #4).
+    accuracy = None
+    try:
+        from ..accuracy import protocol_hash
+        from ..models.engine_plan import plan_dir
+        ap = os.path.join(plan_dir(), f"accuracy_{args.precision}.json")
+        if os.path.exists(ap):
+            doc = json.load(open(ap))
+            if (doc.get("protocol_hash") == protocol_hash()
+                    and doc.get("resolution") == spec.net.width):
+                accuracy = doc
+    except Exception:
+        pass
+
     dev = jax.devices()[0]
     return {
         **b1,
         **({"per_layer": per_layer} if per_layer else {}),
+        **({"accuracy": accuracy} if accuracy else {}),
         "model": args.model,
         "precision": args.precision,
         "compute": args.compute,
@@ -172,6 +189,18 @@ def _render_summary(meta: dict, metrics: dict) -> str:
             f"- single-frame device p50: {metrics['batch1_device_p50_ms']}"
             f" ms (chain of {metrics.get('batch1_chain')}, RPC floor"
             f" {metrics.get('rpc_floor_ms')} ms subtracted)")
+    acc = metrics.get("accuracy")
+    if acc:
+        lines += [
+            "",
+            "## Accuracy (protocol evidence, same tier/resolution)",
+            f"- mAP_50: {acc['mAP_50_mean']} ±{acc.get('mAP_50_ci95')}"
+            f" ({acc['train']['seeds']} seeds, {acc['eval_scenes']} scenes,"
+            f" {acc['classes']} classes)",
+            f"- delta vs fp32: {acc['delta_vs_fp32_mean']:+}"
+            f" ±{acc.get('delta_vs_fp32_ci95')}"
+            f" (protocol {acc['protocol']} {acc['protocol_hash']})",
+        ]
     lines += [
         "",
         "## Memory (XLA)",
