@@ -397,6 +397,56 @@ def test_entry_sd_conv_pool_exact(shift, act):
 
 
 @pytest.mark.parametrize("shift,act", [(7, "leaky"), (5, "linear")])
+def test_sd_pool_conv_pool_exact(shift, act):
+    """Mid-stage fused conv+pool (sd_pool: NHWC 4x4/s2 conv + group-max,
+    C>=8) == conv_int16 then darknet maxpool 2x2/s2, bit for bit —
+    saturation extremes included."""
+    from yolotpu.ops import pool as pool_ops
+    B, H, W, C, N = 2, 20, 16, 32, 64
+    rng = np.random.default_rng(21)
+    xq = rng.integers(-32768, 32768, (B, H, W, C)).astype(np.int16)
+    xq[0, 0] = 32767
+    xq[1, -1] = -32768
+    w = rng.integers(-32768, 32768, (3, 3, C, N)).astype(np.int16)
+    bias = rng.integers(-20000, 20000, N).astype(np.int32)
+    w4 = convops.make_entry_sd_weights(w, N)
+    got = np.asarray(convops.conv_pool_sd(
+        jnp.asarray(xq), jnp.asarray(w4), jnp.asarray(bias), shift, act))
+    conv = convops.conv_int16(jnp.asarray(xq), jnp.asarray(w),
+                              jnp.asarray(bias), 1, 1, act, shift)
+    want = np.asarray(pool_ops.maxpool(conv, 2, 2, 0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_full_net_sd_pool_bitexact(monkeypatch):
+    """Whole 64px graph with sd_pool overriding the xla-routed
+    conv-before-pool layers (idx 2 and 6) == the int32 tier bit-for-bit
+    (plan routing, pool skip, downstream consumption)."""
+    from yolotpu.golden import GoldenNet
+    from yolotpu.models import yolov2, zoo
+    from yolotpu.quant import calibrate_activations, quantize_weights
+    from yolotpu.weights import WeightStore
+
+    monkeypatch.setenv("YOLO2_Q16_PLAN", "2:sd_pool,6:sd_pool")
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = WeightStore.synthetic(spec, seed=0)
+    rng = np.random.default_rng(103)
+    img = rng.random((3, 64, 64)).astype(np.float32)
+    act_q = calibrate_activations(spec, store, [img])
+    quantize_weights(store, act_q)
+    g = GoldenNet(spec).forward_int16(img, store.int16, store.qtables,
+                                      mode="int32")
+    params = yolov2.params_q16(spec, store)
+    assert params["conv2"]["kind"] == "sd_pool"
+    assert params["conv6"]["kind"] == "sd_pool"
+    fwd = yolov2.build_forward(spec, "int16", store.qtables,
+                               compute="pallas", outputs=("head",))
+    head = np.asarray(fwd(params, jnp.asarray(
+        img.transpose(1, 2, 0)[None]))["head"])[0]
+    np.testing.assert_array_equal(head.transpose(2, 0, 1), g[spec.n - 1])
+
+
+@pytest.mark.parametrize("shift,act", [(7, "leaky"), (5, "linear")])
 def test_entry_s2d_conv_pool_exact(shift, act):
     """Block-aligned space-to-depth entry (2x2/s1 conv over 4C channels)
     == the entry_sd formulation bit for bit, saturation extremes

@@ -28,6 +28,10 @@ Engine kinds (all bit-exact vs the int32 tier; see ops/pallas_q16.py):
                4x4/s2 overlapping-window conv (lost 95.2 vs 92.3 ms
                through bench.py, r4: XLA prices the dense 4x4/s2 conv
                better than the s2d reshape + 2x2 conv it replaces)
+    sd_pool    entry_sd generalized to mid-stage conv-before-pool layers
+               (C>=8, NHWC): conv3x3+pool2x2/s2 as ONE 4x4/s2 conv with
+               group-max, skipping the full-res HBM write at 16/9 the
+               MACs (r5 candidate for idx 2/6 — see plans/)
     conv3p2    2x2-spatial-packed 3x3 kernel           (lost round 2)
     mm_pairs   column-pair-packed entry conv           (175 ms)
     mm_patches XLA-im2col + fused matmul               (OOM at 416², ok small)
@@ -72,7 +76,7 @@ from ..runtime import logging as ylog
 
 PRODUCTION_KINDS = ("mm", "conv3", "entry_sd", "xla")
 EVIDENCE_KINDS = ("entryf", "entry8", "entry_sdmm", "entry_s2d", "conv3p2",
-                  "mm_pairs", "mm_patches", "nchw", "xla8")
+                  "mm_pairs", "mm_patches", "nchw", "xla8", "sd_pool")
 ALL_KINDS = PRODUCTION_KINDS + EVIDENCE_KINDS
 
 

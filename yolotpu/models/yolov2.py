@@ -255,6 +255,20 @@ def _prep_engine(kind: str, l: ConvSpec, spec: NetworkSpec,
                 "w": jnp.asarray(whwio),
                 "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
 
+    if kind == "sd_pool":
+        # conv+pool fusion for MID-STAGE layers (VERDICT r4 #1): the
+        # entry_sd identity at C >= 8 — one NHWC 4x4/s2 conv whose
+        # channel groups are the four pool-window members, group-max on
+        # the int32 accumulator. The full-resolution conv output never
+        # touches HBM; costs 16/9 the MACs.
+        need(l.size == 3 and regular and l.h % 2 == 0 and l.w % 2 == 0
+             and ep.next_is_pool22(spec, l.idx),
+             "3x3/s1 conv followed by a darknet 2x2/s2 pool")
+        w4 = convops.make_entry_sd_weights(whwio, l.n)
+        return {"kind": "sd_pool", "w4": jnp.asarray(w4),
+                "w": jnp.asarray(whwio),
+                "b": jnp.asarray(bias_shifted)}, (l.n, l.n)
+
     if kind == "entry_s2d":
         # the entry_sd accumulation re-indexed over a space-to-depth(2)
         # input: a block-aligned 2x2/s1 conv over 4C channels replaces the
@@ -624,7 +638,7 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                     leaky = l.activation == "leaky"
                     kind = pw["kind"]
                     if (kind in ("entry8", "entryf", "entry_sd",
-                                 "entry_sdmm", "entry_s2d")
+                                 "entry_sdmm", "entry_s2d", "sd_pool")
                             and (debug or l.idx in needed)):
                         # per-layer dumps / a route into the conv's own
                         # pre-pool output need the unfused intermediate:
@@ -655,6 +669,12 @@ def build_forward(spec: NetworkSpec, precision: str = "fp32",
                         xq = convops.quantize_input_int16(xt, plan.input_q)
                         cur = q16.entry_sdmm_forward(xq, pw["wp"],
                                                      shift, leaky)
+                        skip_pool.add(l.idx + 1)
+                        cur_layout = "flat"
+                    elif kind == "sd_pool":
+                        cur = convops.conv_pool_sd(
+                            exact(flat(cur)), pw["w4"], pw["b"], shift,
+                            l.activation)
                         skip_pool.add(l.idx + 1)
                         cur_layout = "flat"
                     elif kind == "entryf":
