@@ -31,7 +31,10 @@ Engine kinds (all bit-exact vs the int32 tier; see ops/pallas_q16.py):
     sd_pool    entry_sd generalized to mid-stage conv-before-pool layers
                (C>=8, NHWC): conv3x3+pool2x2/s2 as ONE 4x4/s2 conv with
                group-max, skipping the full-res HBM write at 16/9 the
-               MACs (r5 candidate for idx 2/6 — see plans/)
+               MACs (lost the r5 bench sweep at every eligible layer:
+               idx2 92.5 ms = wash, idx2+6 98.1, idx10 98.0, idx16 93.3
+               vs the 92.6 default — the 16/9 MAC premium and the broken
+               s8 plane flow outweigh the saved full-res HBM write)
     conv3p2    2x2-spatial-packed 3x3 kernel           (lost round 2)
     mm_pairs   column-pair-packed entry conv           (175 ms)
     mm_patches XLA-im2col + fused matmul               (OOM at 416², ok small)
