@@ -40,7 +40,9 @@ Engine kinds (all bit-exact vs the int32 tier; see ops/pallas_q16.py):
     mm_patches XLA-im2col + fused matmul               (OOM at 416², ok small)
     nchw       dense-lane NCHW entry conv              (no e2e win)
     xla8       dec8: exact s16 conv as two int8 MXU convs (112 vs 79 ms
-               when applied everywhere; per-layer wins possible)
+               when applied everywhere, r3; per-layer at the xla-routed
+               large-spatial layers also loses — r5 bench sweep: idx2
+               113.1 ms, idx6 96.4 vs the 92.6 default)
 
 Measured defaults (v5e, b128, 416², in-program prefix bisection — the only
 measurement that prices each kernel's in-graph glue; standalone probes
