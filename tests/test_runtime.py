@@ -186,6 +186,36 @@ def test_profiler_tiny():
     assert len(d) == spec.n and {"idx", "ms", "tops", "gbs"} <= set(d[0])
 
 
+def test_prefix_attribution_dce_aware():
+    """Prefix-bisection deltas around a route must not re-bill the
+    dead-code-eliminated branch to the rejoining route (the r5 roofline
+    artifact: +24 ms on route 28, total 118 vs the real 91 ms)."""
+    from yolotpu.runtime.profiler import (attribute_prefix_delta,
+                                          prefix_alive_sets)
+
+    spec = zoo.build("yolov2", width=64, height=64)
+    alive = prefix_alive_sets(spec)
+    # route 25 pulls layer 16 only; route 28 rejoins both branches
+    assert 16 in alive[25] and 24 not in alive[25]
+    assert alive[28] == set(range(29))
+
+    # synthetic device model: layer idx costs idx+1 "ms"; prefix cum =
+    # sum over its alive set — exactly what a DCE-ing compiler reports
+    cost = {l.idx: float(l.idx + 1) for l in spec.layers}
+    cums: dict[int, float] = {}
+    deltas: dict[int, float] = {}
+    for l in spec.layers:
+        cur = sum(cost[k] for k in alive[l.idx])
+        ms = attribute_prefix_delta(alive, cums, deltas, l.idx, cur)
+        cums[l.idx] = cur
+        deltas[l.idx] = ms
+    # every layer's attributed delta recovers its true cost — including
+    # the route-25 prefix (cum DROPS there) and the rejoining route 28
+    for l in spec.layers:
+        assert deltas[l.idx] == pytest.approx(cost[l.idx]), l.idx
+    assert sum(deltas.values()) == pytest.approx(cums[spec.layers[-1].idx])
+
+
 @pytest.mark.slow
 def test_stream_runner_batched(tiny_video, tmp_path):
     """Batched double-buffered feed produces the same records as single."""

@@ -207,6 +207,48 @@ def profile_layers(spec: NetworkSpec, store, precision: str = "fp32",
     return report
 
 
+def prefix_alive_sets(spec: NetworkSpec) -> dict[int, set[int]]:
+    """The layers XLA actually keeps in the prefix program ending at each
+    layer (its ancestors, following the sequential chain except routes,
+    which pull their listed absolute sources)."""
+    alive: dict[int, set[int]] = {}
+    for l in spec.layers:
+        if isinstance(l, RouteSpec):
+            s = {l.idx}
+            for src in l.layers:
+                s |= alive[src]
+        elif l.idx == 0:
+            s = {0}
+        else:
+            s = {l.idx} | alive[l.idx - 1]
+        alive[l.idx] = s
+    return alive
+
+
+def attribute_prefix_delta(alive: dict[int, set[int]],
+                           cums: dict[int, float],
+                           deltas: dict[int, float],
+                           idx: int, cur: float) -> float:
+    """One layer's cost from prefix cums, DCE-aware.
+
+    A prefix ending inside one branch of a route dead-code-eliminates the
+    other branch (yolov2's 13^2 tower disappears from the route-25
+    prefix), so the naive cum(n)-cum(n-1) delta would zero the route row
+    and re-bill the whole eliminated branch to the rejoining route
+    (observed: +24 ms on route 28, total 118 vs the real 91 ms). The
+    delta is therefore taken against the best previously timed prefix
+    whose alive set is a SUBSET of this one, minus already-attributed
+    deltas of the other layers new to this prefix."""
+    base = None
+    for mi, mc in cums.items():
+        if alive[mi] <= alive[idx] and (base is None or mc > cums[base]):
+            base = mi
+    new = alive[idx] - (alive[base] if base is not None else set()) - {idx}
+    already = sum(deltas.get(k, 0.0) for k in new)
+    return max(0.0, cur - (cums[base] if base is not None else 0.0)
+               - already)
+
+
 def profile_prefix(spec: NetworkSpec, store, precision: str = "int16",
                    compute: str = "pallas", batch: int = 8,
                    chain: int = 8, rng_seed: int = 0,
@@ -288,10 +330,14 @@ def profile_prefix(spec: NetworkSpec, store, precision: str = "int16",
         kinds = {l.idx: pp[f"conv{l.idx}"].get("kind", "?")
                  for l in spec.conv_layers()}
 
-    prev = 0.0
+    alive = prefix_alive_sets(spec)
+    cums: dict[int, float] = {}
+    deltas: dict[int, float] = {}
     for n, l in enumerate(spec.layers, start=1):
         cur = _time_prefix(n)
-        ms = max(0.0, cur - prev)
+        ms = attribute_prefix_delta(alive, cums, deltas, l.idx, cur)
+        cums[l.idx] = cur
+        deltas[l.idx] = ms
         detail = ""
         if isinstance(l, ConvSpec):
             detail = (f"{l.size}x{l.size}/{l.stride} {l.c}->{l.n}"
@@ -305,8 +351,8 @@ def profile_prefix(spec: NetworkSpec, store, precision: str = "int16",
         if progress:
             print(f"  prefix {n:2d} {l.type:14s} cum {cur:8.3f} ms  "
                   f"+{ms:7.3f}  {t.tops:6.1f} TOPS  {detail}", flush=True)
-        prev = cur
-    report.total_ms = prev
+    # the full program's cum is the honest end-to-end device time
+    report.total_ms = cums[spec.layers[-1].idx]
     return report
 
 
