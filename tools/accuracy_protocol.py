@@ -48,7 +48,11 @@ def main(argv=None) -> int:
     ap.add_argument("--size", type=int, default=416,
                     help="train AND eval resolution (416 = the bench's)")
     ap.add_argument("--seeds", type=int, default=3)
-    ap.add_argument("--steps", type=int, default=400)
+    # 400 steps sufficed at 128² (4x4 region grid) but collapses
+    # objectness at 416² (13x13 grid: ~10x fewer positives per cell) —
+    # measured r5: seed-0 fp32 mAP 0.0 at 400 steps. Device-staged
+    # batching makes 2000 steps cheap (~0.05 s/step vs 0.85 host-fed).
+    ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--compute", default="pallas",
                     help="int16/int8 engine compute mode (bench default)")
@@ -57,6 +61,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out-dir", default=os.path.join(REPO, "plans"))
     ap.add_argument("--scratch", default="/tmp/accuracy_v2")
     args = ap.parse_args(argv)
+
+    # region dumps off for the eval loop: two 71k-line text files per
+    # image (~3 s each) quadrupled eval wall time in the first r5 run
+    os.environ.setdefault("YOLO2_NO_DUMP", "1")
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -84,8 +92,9 @@ def main(argv=None) -> int:
     results: dict[str, list[float]] = {t: [] for t in tiers}
     for seed in range(args.seeds):
         t0 = time.time()
-        cache = os.path.join(args.scratch,
-                             f"store_s{seed}_{args.size}_{args.steps}.npz")
+        cache = os.path.join(
+            args.scratch,
+            f"store_{acc.TRAIN_RECIPE}_s{seed}_{args.size}_{args.steps}.npz")
         from yolotpu.weights import WeightStore
         if os.path.exists(cache):
             z = np.load(cache)
@@ -145,7 +154,8 @@ def main(argv=None) -> int:
             "protocol_hash": acc.protocol_hash(),
             "resolution": args.size,
             "train": {"size": args.size, "steps": args.steps,
-                      "batch": args.batch, "seeds": args.seeds},
+                      "batch": args.batch, "seeds": args.seeds,
+                      "recipe": acc.TRAIN_RECIPE},
             "eval_scenes": acc.PROTOCOL["eval_scenes"],
             "classes": acc.PROTOCOL["classes"],
             "engine": {"backend": "xla",

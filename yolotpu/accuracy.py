@@ -69,6 +69,13 @@ def protocol_hash() -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+# Training-recipe tag: bump whenever the loss/optimizer semantics change
+# so cached trained-weight files (tools/accuracy_protocol.py --scratch)
+# keyed on (seed, size, steps) are invalidated. "bce1" = BCE objectness
+# (darknet logit-delta semantics) replacing the saturating MSE-on-sigmoid.
+TRAIN_RECIPE = "bce1"
+
+
 # ---------------------------------------------------------------------------
 # Scene generation (relative geometry; renders at any resolution)
 # ---------------------------------------------------------------------------
@@ -188,29 +195,55 @@ def train_flagship_store(spec, seed: int, size: int, steps: int = 400,
     return (WeightStore with trained fp32 weights, losses). The training
     scene set is shared across seeds (only the init + shuffling vary), so
     seed-to-seed mAP spread measures TRAINING variance, the quantity the
-    CI must cover."""
+    CI must cover.
+
+    The whole train set is staged on device ONCE and batches are gathered
+    inside the jitted step from host-chosen indices: at 416² the per-step
+    host->device image transfer (8 MB over the dev tunnel) dominated the
+    step (~0.85 s/step measured r5) and made protocol-strength step counts
+    impractical. The staged sets are jit ARGUMENTS, not closed-over
+    constants, so the program (and its persistent-cache entry) stays
+    weight-sized."""
     import jax
+    import jax.numpy as jnp
     from .models import yolov2 as m
     from .train import LossConfig, make_train_step, zeros_like_velocity
     from .weights import WeightStore
 
     scenes = make_scenes(PROTOCOL["train_scenes"], size,
                          PROTOCOL["train_scene_seed"])
-    batch_from = batch_builder(scenes, size)
+    n = len(scenes)
+    imgs = np.stack([s[0] for s in scenes]).astype(np.float32) / 255.0
+    bx = np.zeros((n, MAX_BOXES, 4), np.float32)
+    cl = np.zeros((n, MAX_BOXES), np.int32)
+    mk = np.zeros((n, MAX_BOXES), np.float32)
+    for i, (_, boxes, classes) in enumerate(scenes):
+        k = min(len(classes), MAX_BOXES)
+        bx[i, :k], cl[i, :k], mk[i, :k] = boxes[:k], classes[:k], 1.0
+    staged = tuple(jax.device_put(a) for a in (imgs, bx, cl, mk))
     rng = np.random.default_rng(seed)
 
     store0 = WeightStore.synthetic(spec, seed=seed)
     params = m.params_fp32(spec, store0)
-    step = jax.jit(make_train_step(spec, lr=lr, momentum=0.9,
-                                   cfg=LossConfig(rescore=False),
-                                   clip_norm=1.0))
+    base_step = make_train_step(spec, lr=lr, momentum=0.9,
+                                cfg=LossConfig(rescore=False),
+                                clip_norm=1.0)
+
+    def gather_step(params, vel, idxs, imgs, bx, cl, mk):
+        batch = {"images": imgs[idxs], "boxes": bx[idxs],
+                 "classes": cl[idxs], "mask": mk[idxs]}
+        return base_step(params, vel, batch)
+
+    step = jax.jit(gather_step)
     vel = zeros_like_velocity(params)
-    order = np.arange(len(scenes))
+    order = np.arange(n)
     losses = []
+    every = max(1, steps // 8)
     for it in range(steps):
         rng.shuffle(order)
-        params, vel, loss = step(params, vel, batch_from(order[:batch]))
-        if it % 100 == 0 or it == steps - 1:
+        idxs = jnp.asarray(order[:batch], jnp.int32)
+        params, vel, loss = step(params, vel, idxs, *staged)
+        if it % every == 0 or it == steps - 1:
             losses.append(float(loss))
             if log:
                 log(f"seed={seed} it={it} loss={losses[-1]:.3f}")

@@ -19,6 +19,15 @@ Deviations from darknet (documented, deliberate): the burn-in prior loss
 (pushing boxes to anchor shapes for the first 12800 samples) is off by
 default, and class loss uses cross-entropy on softmax rather than darknet's
 sum-of-squares delta on softmax outputs.
+
+Objectness fidelity note: darknet's region backward applies its delta
+``scale*(t - p)`` directly to the pre-activation (backward_region_layer
+never multiplies the logistic derivative back in), i.e. the GRADIENT of a
+scaled BCE on the logit. The obj/noobj terms here are therefore BCE, not
+an autodiffed MSE-on-sigmoid — the latter's extra p(1-p) factor traps
+objectness in saturation on large grids (see region_loss body). The x/y
+coordinate terms keep MSE on the activated value: their targets live in
+(0,1) so the sigmoid never saturates against them.
 """
 
 from __future__ import annotations
@@ -67,7 +76,8 @@ def region_loss(head: jnp.ndarray, truth_boxes: jnp.ndarray,
 
     sx, sy = jax.nn.sigmoid(x[..., 0]), jax.nn.sigmoid(x[..., 1])
     tw, th = x[..., 2], x[..., 3]
-    obj = jax.nn.sigmoid(x[..., 4])
+    obj_logit = x[..., 4]
+    obj = jax.nn.sigmoid(obj_logit)
     logits = x[..., 5:]
 
     col = jnp.arange(lw, dtype=jnp.float32)[None, None, :, None]
@@ -102,15 +112,29 @@ def region_loss(head: jnp.ndarray, truth_boxes: jnp.ndarray,
     mask = truth_mask.astype(jnp.float32)
     # darknet overwrites the noobj delta at the truth-assigned slot
     # (region_layer.c: delta[obj_index] is recomputed by the object term),
-    # so the responsible anchor must NOT also be pulled toward 0
+    # so the responsible anchor must NOT also be pulled toward 0.
+    #
+    # Objectness terms are BCE on the LOGIT: darknet applies its delta
+    # scale*(t - p) straight to the logistic output's pre-activation (no
+    # sigmoid-derivative factor), which is exactly BCE's gradient. An
+    # autodiffed MSE-on-sigmoid multiplies by p(1-p) instead, and on
+    # large grids (416² -> 13x13: ~840 negative slots vs ~5 positives)
+    # the noobj pressure drives every logit into saturation first, after
+    # which the p(1-p)~=0.005 factor traps the positives at obj~=0
+    # forever (measured r5: 2000 steps at 416², train-scene obj max
+    # 0.0075, mAP 0.0; the 128² protocol escaped only because its 4x4
+    # grid has 10x fewer negatives).
+    def bce(logit, target):
+        return (jnp.maximum(logit, 0) - logit * target
+                + jnp.log1p(jnp.exp(-jnp.abs(logit))))
+
     assigned = jnp.zeros_like(obj).at[g].max(mask)
     loss_noobj = cfg.noobject_scale * jnp.sum(
-        noobj * (1.0 - assigned) * obj ** 2)
+        noobj * (1.0 - assigned) * bce(obj_logit, 0.0))
 
     # gather predictions at assigned slots
     p_sx, p_sy = sx[g], sy[g]
     p_tw, p_th = tw[g], th[g]
-    p_obj = obj[g]
     p_logits = logits[g]
     p_box = pred[g]
 
@@ -127,7 +151,8 @@ def region_loss(head: jnp.ndarray, truth_boxes: jnp.ndarray,
 
     iou_t = _box_iou_xywh(p_box, truth_boxes)
     target_obj = iou_t if cfg.rescore else jnp.ones_like(iou_t)
-    loss_obj = cfg.object_scale * jnp.sum(mask * (target_obj - p_obj) ** 2)
+    loss_obj = cfg.object_scale * jnp.sum(
+        mask * bce(obj_logit[g], jax.lax.stop_gradient(target_obj)))
 
     logp = jax.nn.log_softmax(p_logits, axis=-1)
     onehot = jax.nn.one_hot(truth_cls, classes)
