@@ -193,3 +193,39 @@ def test_device_nms_dense_scene_topk256():
         jnp.asarray(boxes)[None], jnp.asarray(obj)[None],
         jnp.asarray(probs)[None], thresh, nt, topk=64)
     assert bool(sat64[0])
+
+
+def test_evaluate_engine_batched_matches_unbatched(tmp_path, monkeypatch):
+    """The batched-device evaluator (uint8 NHWC frames through
+    predict_batch_rgb, host postprocess) scores identically to the
+    per-image ``evaluate_engine`` path on net-sized protocol scenes."""
+    monkeypatch.setenv("YOLO2_NO_DUMP", "1")
+    from yolotpu import accuracy as acc
+    from yolotpu import eval as yeval
+    from yolotpu.models import zoo
+    from yolotpu.runtime.engine import Engine, load_or_synthesize
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = load_or_synthesize(spec, None, "fp32", synthetic=True)
+    eng = Engine(spec, store, "fp32", backend="xla")
+    pairs = acc.write_eval_set(str(tmp_path / "ev"), 64)[:6]
+    rb = yeval.evaluate_engine_batched(eng, pairs, num_classes=80,
+                                       thresh=0.05, batch=4)
+    ru = yeval.evaluate_engine(eng, pairs, num_classes=80, thresh=0.05)
+    assert rb["images"] == ru["images"] == 6
+    assert rb["mAP_50"] == ru["mAP_50"]
+    assert rb["mAP_50_95"] == ru["mAP_50_95"]
+
+
+def test_evaluate_engine_batched_rejects_non_net_sized(tmp_path):
+    from PIL import Image
+    from yolotpu import eval as yeval
+    from yolotpu.models import zoo
+    from yolotpu.runtime.engine import Engine, load_or_synthesize
+    spec = zoo.build("yolov2", width=64, height=64)
+    store = load_or_synthesize(spec, None, "fp32", synthetic=True)
+    eng = Engine(spec, store, "fp32", backend="xla")
+    ip = str(tmp_path / "odd.png")
+    Image.fromarray(np.zeros((48, 80, 3), np.uint8)).save(ip)
+    with pytest.raises(ValueError, match="net-sized"):
+        yeval.evaluate_engine_batched(eng, [(ip, ip + ".txt")],
+                                      num_classes=80)

@@ -37,7 +37,11 @@ import numpy as np
 PROTOCOL = {
     "name": "scenes-v2",
     "classes": 8,
-    "train_scenes": 64,
+    # 64 train scenes memorize: r5 measured TRAIN-scene mAP 0.9755 vs
+    # EVAL-scene 0.0068 after 500 epochs (the net swallows 64 rectangles
+    # verbatim and generalizes nothing). 512 scenes at the same epoch
+    # budget forces feature learning; eval mAP then tracks train mAP.
+    "train_scenes": 512,
     "eval_scenes": 64,
     "objects_per_scene": [1, 4],
     "rel_size": [0.12, 0.45],
@@ -73,7 +77,10 @@ def protocol_hash() -> str:
 # so cached trained-weight files (tools/accuracy_protocol.py --scratch)
 # keyed on (seed, size, steps) are invalidated. "bce1" = BCE objectness
 # (darknet logit-delta semantics) replacing the saturating MSE-on-sigmoid.
-TRAIN_RECIPE = "bce1"
+# "bce2" = bce1 + warmup/cosine lr schedule (constant 2e-4 converged in
+# loss but plateaued at mAP~0 at 416²: classes stayed diffuse and boxes
+# never tightened past IoU 0.5 — measured r5, 2000 steps seed 0).
+TRAIN_RECIPE = "bce2"
 
 
 # ---------------------------------------------------------------------------
@@ -189,8 +196,8 @@ def batch_builder(scenes, size: int):
 
 
 def train_flagship_store(spec, seed: int, size: int, steps: int = 400,
-                         batch: int = 4, lr: float = 2e-4,
-                         log=None):
+                         batch: int = 4, lr: float = 1e-3,
+                         warmup: int = 200, log=None):
     """Train the full graph on PROTOCOL scenes from He init (seeded) and
     return (WeightStore with trained fp32 weights, losses). The training
     scene set is shared across seeds (only the init + shuffling vary), so
@@ -213,7 +220,10 @@ def train_flagship_store(spec, seed: int, size: int, steps: int = 400,
     scenes = make_scenes(PROTOCOL["train_scenes"], size,
                          PROTOCOL["train_scene_seed"])
     n = len(scenes)
-    imgs = np.stack([s[0] for s in scenes]).astype(np.float32) / 255.0
+    # stage uint8 (512 scenes at 416² = 266 MB vs 1.06 GB as f32 — the
+    # host->device staging crosses the dev tunnel once); /255 runs inside
+    # the jitted step on the gathered batch only
+    imgs = np.stack([s[0] for s in scenes])
     bx = np.zeros((n, MAX_BOXES, 4), np.float32)
     cl = np.zeros((n, MAX_BOXES), np.int32)
     mk = np.zeros((n, MAX_BOXES), np.float32)
@@ -229,20 +239,30 @@ def train_flagship_store(spec, seed: int, size: int, steps: int = 400,
                                 cfg=LossConfig(rescore=False),
                                 clip_norm=1.0)
 
-    def gather_step(params, vel, idxs, imgs, bx, cl, mk):
-        batch = {"images": imgs[idxs], "boxes": bx[idxs],
+    def gather_step(params, vel, idxs, imgs, bx, cl, mk, lr_scale):
+        batch = {"images": imgs[idxs].astype(jnp.float32) / 255.0,
+                 "boxes": bx[idxs],
                  "classes": cl[idxs], "mask": mk[idxs]}
-        return base_step(params, vel, batch)
+        return base_step(params, vel, batch, lr_scale)
 
     step = jax.jit(gather_step)
     vel = zeros_like_velocity(params)
     order = np.arange(n)
     losses = []
     every = max(1, steps // 8)
+    wu = min(warmup, max(steps // 10, 1))
     for it in range(steps):
         rng.shuffle(order)
         idxs = jnp.asarray(order[:batch], jnp.int32)
-        params, vel, loss = step(params, vel, idxs, *staged)
+        # linear warmup then cosine decay to a 5% floor ("bce2"): constant
+        # lr leaves class logits diffuse and box IoU < 0.5 at 416²
+        if it < wu:
+            lr_scale = (it + 1) / wu
+        else:
+            t = (it - wu) / max(steps - wu, 1)
+            lr_scale = 0.05 + 0.95 * 0.5 * (1.0 + np.cos(np.pi * t))
+        params, vel, loss = step(params, vel, idxs, *staged,
+                                 np.float32(lr_scale))
         if it % every == 0 or it == steps - 1:
             losses.append(float(loss))
             if log:

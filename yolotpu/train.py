@@ -180,7 +180,9 @@ def make_train_step(spec: NetworkSpec, lr: float = 1e-3,
         return region_loss(head, batch["boxes"], batch["classes"],
                            batch["mask"], rspec, cfg)
 
-    def train_step(params, velocity, batch):
+    def train_step(params, velocity, batch, lr_scale=1.0):
+        # lr_scale: schedule multiplier on the base lr (warmup/cosine decay
+        # live host-side; the step stays a pure function of its arguments)
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         if clip_norm > 0:
             gnorm = jnp.sqrt(sum(
@@ -189,7 +191,7 @@ def make_train_step(spec: NetworkSpec, lr: float = 1e-3,
             scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-9))
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         new_v = jax.tree_util.tree_map(
-            lambda v, g: momentum * v - lr * g, velocity, grads)
+            lambda v, g: momentum * v - (lr * lr_scale) * g, velocity, grads)
         new_p = jax.tree_util.tree_map(lambda p, v: p + v, params, new_v)
         return new_p, new_v, loss
 
