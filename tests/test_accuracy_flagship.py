@@ -1,24 +1,33 @@
-"""Flagship-depth accuracy on protocol v2: the FULL yolov2 graph (23 convs,
-reorg/route Q realignment) trained to nontrivial mAP, then the BASELINE
-criterion WITH ordering.
+"""Flagship-depth accuracy on protocol v2: machinery on CPU, criterion by
+committed evidence.
 
-Protocol v2 (yolotpu/accuracy.py — VERDICT r4 #2): 8 classes, 64 eval
-scenes, object scale/aspect/occlusion diversity. The round-4 protocol
-(16 scenes, 2 classes) was noise-dominated — a quantized tier "beat" fp32
-by +0.16 mAP. With 64 diverse scenes the per-tier deltas are resolvable,
-so this suite asserts BOTH halves of the criterion:
+Protocol v2 (yolotpu/accuracy.py — VERDICT r4 #2): 8 classes, 512 train /
+64 held-out eval scenes, object scale/aspect/occlusion diversity. The
+round-4 protocol (16 scenes, 2 classes, train==eval) was noise-dominated —
+a quantized tier "beat" fp32 by +0.16 mAP; and its 64-train-scene successor
+memorized (TRAIN-scene mAP 0.9755 vs EVAL 0.0068, measured r5).
 
-  1. |fp32 - tier| <= 0.1  (the BASELINE criterion), and
-  2. fp32 >= tier - EPS    (ordering: a quantized tier materially beating
-                            its own fp32 oracle means the protocol is
-                            measuring noise, not accuracy).
+Two layers of assertion:
 
-Resolution is 128x128 so the loop runs on the CPU suite; the 416² evidence
-run (3 seeds, mean±CI, the bench's engine config) is
-tools/accuracy_protocol.py -> plans/accuracy_<tier>.json.
+1. ``test_flagship_*`` (slow, CPU): trains the FULL 23-conv graph a short
+   budget and asserts the MACHINERY — loss decreases at depth, every
+   quantized tier stays within the 0.1-mAP criterion of fp32 AND the
+   ordering fp32 >= tier - EPS holds (the r4 inversion must be impossible
+   at any mAP level). No absolute-mAP bar here: held-out mAP needs the
+   protocol-strength budget (8000 steps at 416²), which belongs to the
+   TPU evidence run, not a CPU test.
 
-The multi-seed CI evidence lives in plans/; this test trains ONE seed.
+2. ``test_accuracy_evidence_files`` (fast): the committed
+   ``plans/accuracy_<tier>.json`` evidence (written by
+   tools/accuracy_protocol.py on TPU at 416²) must exist, carry the
+   CURRENT protocol hash (stale evidence fails the suite, it doesn't
+   silently ship), reach non-noise fp32 mAP, and satisfy criterion +
+   ordering per tier. This is the enforcement point for BASELINE.md's
+   "mAP within 0.1 of fp32".
 """
+
+import json
+import os
 
 import numpy as np
 import pytest
@@ -29,10 +38,9 @@ from yolotpu.models import zoo
 from yolotpu.quant import calibrate_activations, quantize_weights
 from yolotpu.runtime.engine import Engine
 
-pytestmark = pytest.mark.slow
-
 S = 128
 EPS = 0.03           # ordering slack: small vs the 0.1 criterion
+PLANS = os.path.join(os.path.dirname(__file__), os.pardir, "plans")
 
 
 @pytest.fixture(scope="module")
@@ -53,13 +61,12 @@ def _quantize(spec, store):
     quantize_weights(store, act_q)
 
 
-def test_flagship_fp32_learns_and_int16_within_criterion(trained_flagship):
+@pytest.mark.slow
+def test_flagship_int16_within_criterion(trained_flagship):
     spec, store, pairs = trained_flagship
     eng32 = Engine(spec, store, precision="fp32", backend="xla")
     r32 = yeval.evaluate_engine(eng32, pairs, num_classes=80, thresh=0.05)
     assert r32["images"] == 64
-    # nontrivial detection at depth 23 on the 8-class diverse protocol
-    assert r32["mAP_50"] >= 0.25, r32
 
     _quantize(spec, store)
     eng16 = Engine(spec, store, precision="int16", backend="xla")
@@ -71,6 +78,7 @@ def test_flagship_fp32_learns_and_int16_within_criterion(trained_flagship):
     assert r32["mAP_50"] >= r16["mAP_50"] - EPS, (r32, r16)
 
 
+@pytest.mark.slow
 def test_flagship_w8a16_and_int8_within_criterion(trained_flagship):
     """8-bit tiers at flagship depth, protocol v2: both meet the 0.1-mAP
     criterion AND the ordering (fp32 >= tier - EPS)."""
@@ -97,6 +105,7 @@ def test_flagship_w8a16_and_int8_within_criterion(trained_flagship):
     assert r32["mAP_50"] >= r8["mAP_50"] - EPS, (r32, r8)
 
 
+@pytest.mark.slow
 def test_flagship_pallas_map_identical_to_int32(trained_flagship):
     spec, store, pairs = trained_flagship
     _quantize(spec, store)
@@ -107,3 +116,44 @@ def test_flagship_pallas_map_identical_to_int32(trained_flagship):
                   compute="pallas")
     rp = yeval.evaluate_engine(engp, pairs, num_classes=80, thresh=0.05)
     assert rp["mAP_50"] == r16["mAP_50"], (rp, r16)
+
+
+# ---------------------------------------------------------------------------
+# Committed-evidence enforcement (fast suite)
+# ---------------------------------------------------------------------------
+
+EVIDENCE_TIERS = ("fp32", "int16", "int8", "w8a16")
+
+
+def _load_evidence(tier):
+    path = os.path.join(PLANS, f"accuracy_{tier}.json")
+    assert os.path.exists(path), (
+        f"missing accuracy evidence {path} — run tools/accuracy_protocol.py "
+        f"on TPU at 416² after any protocol change")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_accuracy_evidence_files():
+    """plans/accuracy_<tier>.json: fresh (current protocol hash), at the
+    bench resolution, multi-seed, non-noise fp32 mAP, criterion + ordering
+    per quantized tier. bench.py consumes the same files (it drops stale
+    ones); this test makes staleness a FAILURE so it cannot ship silently."""
+    docs = {t: _load_evidence(t) for t in EVIDENCE_TIERS}
+    h = acc.protocol_hash()
+    for t, d in docs.items():
+        assert d["protocol_hash"] == h, (
+            f"{t} evidence is stale: protocol hash {d['protocol_hash']} != "
+            f"current {h} — rerun tools/accuracy_protocol.py")
+        assert d["resolution"] == 416, d
+        assert d["train"]["seeds"] >= 3, d
+        assert len(d["mAP_50_per_seed"]) == d["train"]["seeds"], d
+    # the protocol must resolve real detection quality, not noise
+    assert docs["fp32"]["mAP_50_mean"] >= 0.3, docs["fp32"]
+    for t in ("int16", "int8", "w8a16"):
+        d = docs[t]
+        # BASELINE criterion: tier within 0.1 mAP of fp32 (per-seed mean)
+        assert abs(d["delta_vs_fp32_mean"]) <= 0.1, (t, d)
+        # ordering: a tier materially beating its own fp32 oracle means
+        # the protocol is measuring noise (the r4 inversion)
+        assert d["delta_vs_fp32_mean"] <= EPS, (t, d)

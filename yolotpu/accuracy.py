@@ -39,9 +39,10 @@ PROTOCOL = {
     "classes": 8,
     # 64 train scenes memorize: r5 measured TRAIN-scene mAP 0.9755 vs
     # EVAL-scene 0.0068 after 500 epochs (the net swallows 64 rectangles
-    # verbatim and generalizes nothing). 512 scenes at the same epoch
-    # budget forces feature learning; eval mAP then tracks train mAP.
-    "train_scenes": 512,
+    # verbatim and generalizes nothing); 512 scenes peaked at eval mAP
+    # 0.22 and DROPPED to 0.14 with longer training (memorization again).
+    # 2048 scenes + flip augmentation make held-out mAP track train mAP.
+    "train_scenes": 2048,
     "eval_scenes": 64,
     "objects_per_scene": [1, 4],
     "rel_size": [0.12, 0.45],
@@ -80,7 +81,9 @@ def protocol_hash() -> str:
 # "bce2" = bce1 + warmup/cosine lr schedule (constant 2e-4 converged in
 # loss but plateaued at mAP~0 at 416²: classes stayed diffuse and boxes
 # never tightened past IoU 0.5 — measured r5, 2000 steps seed 0).
-TRAIN_RECIPE = "bce2"
+# "bce3" = bce2 + per-sample horizontal-flip augmentation inside the
+# jitted gather step (with cx mirroring), against scene memorization.
+TRAIN_RECIPE = "bce3"
 
 
 # ---------------------------------------------------------------------------
@@ -239,13 +242,23 @@ def train_flagship_store(spec, seed: int, size: int, steps: int = 400,
                                 cfg=LossConfig(rescore=False),
                                 clip_norm=1.0)
 
-    def gather_step(params, vel, idxs, imgs, bx, cl, mk, lr_scale):
-        batch = {"images": imgs[idxs].astype(jnp.float32) / 255.0,
-                 "boxes": bx[idxs],
+    def gather_step(params, vel, idxs, key, imgs, bx, cl, mk, lr_scale):
+        ims = imgs[idxs].astype(jnp.float32) / 255.0
+        boxes = bx[idxs]
+        # per-sample horizontal flip ("bce3"): mirrors the image on W and
+        # cx -> 1-cx; padded truth slots are masked in the loss, so
+        # flipping their zero boxes is harmless
+        flip = jax.random.bernoulli(key, 0.5, (ims.shape[0],))
+        ims = jnp.where(flip[:, None, None, None], ims[:, :, ::-1, :], ims)
+        boxes = jnp.concatenate(
+            [jnp.where(flip[:, None, None], 1.0 - boxes[..., 0:1],
+                       boxes[..., 0:1]), boxes[..., 1:]], axis=-1)
+        batch = {"images": ims, "boxes": boxes,
                  "classes": cl[idxs], "mask": mk[idxs]}
         return base_step(params, vel, batch, lr_scale)
 
     step = jax.jit(gather_step)
+    base_key = jax.random.PRNGKey(seed + 1000)
     vel = zeros_like_velocity(params)
     order = np.arange(n)
     losses = []
@@ -261,7 +274,8 @@ def train_flagship_store(spec, seed: int, size: int, steps: int = 400,
         else:
             t = (it - wu) / max(steps - wu, 1)
             lr_scale = 0.05 + 0.95 * 0.5 * (1.0 + np.cos(np.pi * t))
-        params, vel, loss = step(params, vel, idxs, *staged,
+        params, vel, loss = step(params, vel, idxs,
+                                 jax.random.fold_in(base_key, it), *staged,
                                  np.float32(lr_scale))
         if it % every == 0 or it == steps - 1:
             losses.append(float(loss))

@@ -182,17 +182,46 @@ def calibrate_activations_int8(spec: NetworkSpec, store: WeightStore,
     return [q - 8 for q in act_q16]
 
 
+def _producer_conv(spec: NetworkSpec, idx: int) -> int:
+    """Walk back from layer ``idx`` through Q-preserving layers (maxpool,
+    reorg, single-input route) to the conv whose output scale the tensor
+    carries. Returns -1 for the network input."""
+    while idx >= 0:
+        l = spec.layers[idx]
+        if isinstance(l, ConvSpec):
+            return idx
+        if isinstance(l, RouteSpec):
+            if len(l.layers) != 1:
+                return idx          # multi-route: scale decided at the route
+            idx = l.layers[0]
+        else:
+            idx -= 1
+    return -1
+
+
 def calibrate_activations(spec: NetworkSpec, store: WeightStore,
                           images_chw: list[np.ndarray],
                           margin: float = 2.0) -> list[int]:
     """Produce ``iofm_Q`` (n_convs+1 entries) from fp32 activations.
 
     Entry i is conv i's *input* Q, entry n_convs the last conv's output Q.
-    Graph consistency is enforced: a conv fed by a route/maxpool/reorg chain
-    inherits the Q of the producing conv's output, so branch scales agree at
-    trace time (the reference relied on the external calibrator to do the
-    same; its runtime re-aligns the reorg branch anyway,
-    ``yolo2_model.cpp:379-399``).
+
+    The table must be valid under the reference's LINEAR Q walk
+    (``yolo2_model.cpp:290-337``): conv ordinal i's output is stored at
+    scale entry[i+1], which is simultaneously conv ordinal i+1's input
+    scale — at a branch those are DIFFERENT tensors (conv24's output vs
+    conv16's, aliased through entry 20), and the runtime realigns only the
+    reorg branch, down to ``min(route_sibling_q, current_Qa)``
+    (``yolo2_model.cpp:379-399``). A table that gives route branches
+    incompatible stored scales therefore concatenates mismatched
+    magnitudes with no error anywhere — measured r5 at 416² as int16 mAP
+    0.07 vs fp32 0.37 (one branch exactly 2x off). The reference's
+    external calibrator satisfied the constraint implicitly; this one
+    enforces it: convs whose stored scales are aliased by the walk or
+    concatenated by a multi-input route are grouped, and each group gets
+    the MIN of its members' natural scales (reorg realign then degenerates
+    to shift 0). Costs at most one headroom bit on the shared tensors;
+    removes the misalignment class entirely.
     """
     golden = GoldenNet(spec)
     convs = spec.conv_layers()
@@ -207,13 +236,54 @@ def calibrate_activations(spec: NetworkSpec, store: WeightStore,
         for idx, a in acts.items():
             absmax[idx] = max(absmax[idx], float(np.abs(a).max()))
 
+    # natural (unconstrained) per-conv output scale
+    nat_q = {l.idx: q_for_absmax(absmax[l.idx], margin) for l in convs}
+
+    # ---- scale groups (union-find over conv idx) ------------------------
+    parent = {l.idx: l.idx for l in convs}
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        if a >= 0 and b >= 0:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+    # 1) walk aliasing: conv ordinal i's stored scale IS entry i+1 = conv
+    #    ordinal i+1's input scale = its input tensor's producer scale
+    for i in range(n_convs - 1):
+        nxt = convs[i + 1]
+        prod = _producer_conv(spec, nxt.idx - 1)
+        if prod >= 0 and not isinstance(spec.layers[prod], RouteSpec):
+            union(convs[i].idx, prod)
+    # 2) multi-route branches concatenate: all producing convs share scale
+    #    (the runtime's reorg realign then has shift 0 by construction)
+    for l in spec.layers:
+        if isinstance(l, RouteSpec) and len(l.layers) > 1:
+            prods = [_producer_conv(spec, s) for s in l.layers]
+            prods = [p for p in prods
+                     if p >= 0 and isinstance(spec.layers[p], ConvSpec)]
+            for p in prods[1:]:
+                union(prods[0], p)
+
+    group_q: dict[int, int] = {}
+    for l in convs:
+        r = find(l.idx)
+        group_q[r] = min(group_q.get(r, 99), nat_q[l.idx])
+
     # layer-output Q, propagated through Q-preserving layers
     out_q: dict[int, int] = {}
     for l in spec.layers:
         if isinstance(l, ConvSpec):
-            out_q[l.idx] = q_for_absmax(absmax[l.idx], margin)
+            out_q[l.idx] = group_q[find(l.idx)]
         elif isinstance(l, RouteSpec):
             # min over branches: realignment shifts the hotter branch down
+            # (with grouped branch scales this is the shared group scale)
             out_q[l.idx] = min(out_q[s] for s in l.layers)
         else:
             prev = l.idx - 1
